@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table loaders for the driver-generated parquet fixtures
+  * (`/root/testdata/sf*`, see TESTDATA.md).
+  *
+  * All queries receive the scale-factor directory at call time so the same
+  * plan runs at sf0.001 (smoke), sf0.01 (oracle) and sf0.1 (bench) — and,
+  * unchanged, against a 100 TB lake: `spark.read.parquet` produces a
+  * `FileScanRDD` whose splits scale with the input
+  * (`spark.sql.files.maxPartitionBytes`), and Catalyst pushes filters and
+  * prunes columns into the scan.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * as a timestamp; read it as a long (nanos since epoch) and expose a
+    * microsecond-truncated timestamp column `ts` plus the raw `ts_ns`.
+    * Truncation is done with integer arithmetic (DIV) — a double division
+    * would lose precision above 2^53 ns.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts_ns DIV 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every fixture table as a temp view (for spark.sql queries). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+}

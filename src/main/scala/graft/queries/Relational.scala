@@ -1,0 +1,426 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Core relational operator surface (SURVEY.md §2.2): scans, projection,
+  * filter, aggregation (hash/sort, distinct, rollup/cube/grouping sets),
+  * joins (broadcast/SMJ/semi/anti/outer/range), windows, global sort,
+  * top-k, set ops, scalar functions.
+  *
+  * Design notes for 100 TB scale (every query here is declarative so
+  * Catalyst + AQE pick the physical plan):
+  *  - dims (region/nation/supplier/part/customer) are broadcast — no
+  *    shuffle of the fact table for those joins;
+  *  - fact-fact joins shuffle on the join key once and use sort-merge —
+  *    the reference's fetch + k-way-merge pipeline
+  *    (reference src/Merger/MergeQueue.h:126-270) as Spark implements it;
+  *  - aggregations are partial (map-side combine) before the exchange;
+  *  - doubles that feed SUM/AVG are cast to DECIMAL(18,2) first so the
+  *    result is order-independent and bit-identical to the DuckDB oracle
+  *    (double summation order varies with partitioning; decimals don't).
+  */
+object Relational {
+
+  /** Order-independent money arithmetic: exact decimal, surfaced as double. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  private def davg(c: Column): Column = sum(dec(c)).cast("double") / count(lit(1))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scan → filter → partial agg → exchange → final agg → sort ----
+    // The flagship: exercises the reference's whole pipeline (SURVEY §7.2).
+    "q1_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- projection + selective filter (parquet pushdown + pruning) ----
+    "q_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"))
+    }),
+
+    // ---- global sort (TeraSort analog: range partition + local sort) ----
+    "q_sort_global" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- top-k (planned as TakeOrderedAndProject: no global sort) ----
+    "q_topk" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .limit(10)
+    }),
+
+    // ---- broadcast hash join: fact ⋈ two dims, no fact shuffle ----
+    "q_join_bcast" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val su = Tables.supplier(s, d)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_brand"), col("s_nationkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // ---- sort-merge join: two big tables shuffled on the key ----
+    "q_join_smj" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d).hint("merge")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // ---- left semi join (EXISTS) ----
+    "q_join_semi" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 100000.0)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // ---- left anti join (NOT EXISTS) ----
+    "q_join_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 250000.0)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
+    // ---- left outer join + null handling ----
+    "q_join_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_nationkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- equi + range predicate join (pushed as SMJ + filter) ----
+    "q_join_range" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(broadcast(p),
+          col("l_partkey") === col("p_partkey") &&
+          col("l_quantity") >= col("p_size") - 5 &&
+          col("l_quantity") <= col("p_size") + 5)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"))
+    }),
+
+    // ---- distinct aggregation ----
+    "q_agg_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // ---- rollup ----
+    "q_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // ---- cube ----
+    "q_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // ---- grouping sets (SQL surface) ----
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+              |                        (o_orderstatus), ())""".stripMargin)
+    }),
+
+    // ---- window: ranking within partitions ----
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+    }),
+
+    // ---- window: running aggregate (frame) ----
+    "q_window_running" -> ((s, d) => {
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+      // l_quantity joins the ordering: rows tying on all three contribute
+      // identically, making the running-sum output multiset deterministic.
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .withColumn("running_qty",
+          sum(dec(col("l_quantity"))).over(w).cast("double"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+    }),
+
+    // ---- window: lag/lead ----
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("prev_price"))
+    }),
+
+    // ---- set ops ----
+    "q_set_union" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nk"))
+      val su = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nk"))
+      c.union(su).distinct().orderBy(col("nk"))
+    }),
+    "q_set_intersect" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nk"))
+      val su = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nk"))
+      c.intersect(su).orderBy(col("nk"))
+    }),
+    "q_set_except" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nk"))
+      val su = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nk"))
+      c.except(su).orderBy(col("nk"))
+    }),
+
+    // ---- scalar functions: string ----
+    "q_scalar_string" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 5).as("type_pfx"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+          col("p_name").contains("a").cast("int").as("has_a"))
+    }),
+
+    // ---- scalar functions: date ----
+    "q_scalar_date" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"))
+    }),
+
+    // ---- scalar functions: math ----
+    "q_scalar_math" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - 25).as("dev"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          ceil(col("l_discount") * 100).as("disc_pct"),
+          pmod(col("l_orderkey"), lit(7)).as("k_mod7"))
+    }),
+
+    // ---- semi-structured: regexp extraction from JSON-ish props ----
+    "q_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+    }),
+
+    // ---- wordcount (the reference's regression workload; KV shuffle) ----
+    "q_wordcount" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin,
+
+    "q_sort_global" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_join_bcast" ->
+      """SELECT p_brand, s_nationkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand, s_nationkey""".stripMargin,
+
+    "q_join_smj" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 250000.0)""".stripMargin,
+
+    "q_join_outer" ->
+      """SELECT c_nationkey, COUNT(o_orderkey) AS n_orders, COUNT(*) AS n_rows
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_nationkey""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT p_brand, COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  AND l_quantity >= p_size - 5 AND l_quantity <= p_size + 5
+        |GROUP BY p_brand""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) AS t WHERE rk <= 3""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_qty
+        |FROM lineitem""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |                             ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders""".stripMargin,
+
+    "q_set_union" ->
+      """SELECT DISTINCT nk FROM (
+        |  SELECT CAST(c_nationkey AS INT) AS nk FROM customer
+        |  UNION ALL SELECT CAST(s_nationkey AS INT) AS nk FROM supplier) AS t
+        |ORDER BY nk""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT CAST(c_nationkey AS INT) AS nk FROM customer
+        |INTERSECT
+        |SELECT CAST(s_nationkey AS INT) AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT CAST(c_nationkey AS INT) AS nk FROM customer
+        |EXCEPT
+        |SELECT CAST(s_nationkey AS INT) AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "q_scalar_string" ->
+      """SELECT p_partkey, UPPER(p_brand) AS brand_u, LENGTH(p_name) AS name_len,
+        |  SUBSTRING(p_type, 1, 5) AS type_pfx,
+        |  CONCAT_WS('|', p_brand, p_type) AS bt,
+        |  CAST(CONTAINS(p_name, 'a') AS INT) AS has_a
+        |FROM part""".stripMargin,
+
+    "q_scalar_date" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
+        |  CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS dom,
+        |  STRFTIME(o_orderdate, '%Y-%m-%d') AS ds
+        |FROM orders""".stripMargin,
+
+    "q_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ABS(l_quantity - 25) AS dev,
+        |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct,
+        |  l_orderkey % 7 AS k_mod7
+        |FROM lineitem""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(REGEXP_EXTRACT(props, '"k":\s*(\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
+        |  MAX(CAST(REGEXP_EXTRACT(props, '"k":\s*(\d+)', 1) AS INT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_wordcount" ->
+      """SELECT tok, COUNT(*) AS cnt FROM (
+        |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) AS t
+        |WHERE tok <> '' GROUP BY tok""".stripMargin
+  )
+}
