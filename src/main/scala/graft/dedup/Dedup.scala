@@ -1,0 +1,170 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+import graft.vector.VectorFunctions
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design (the point of each algorithm):
+  *  - exact: one hash-shuffle on the fingerprint — the minimum possible.
+  *  - MinHash+LSH: shingle→minhash→band→bucket-join. Cost is linear in
+  *    corpus size + quadratic only within a NARROW bucket; the full n²
+  *    pair space is never materialized. Candidates are then verified with
+  *    exact Jaccard so band/hash parameters only affect recall, never
+  *    precision. With b=16 bands × r=4 rows, a pair at Jaccard 0.9 is
+  *    missed with probability (1-0.9⁴)¹⁶ ≈ 4e-8 — statistically exact.
+  *  - SimHash: 64-bit signature; candidates must share one of 4 16-bit
+  *    chunks (any pair within Hamming distance 3 shares a chunk by
+  *    pigeonhole — exact recall, not probabilistic).
+  *  - embedding near-dup: cosine threshold; verified pairs only.
+  */
+object Dedup {
+
+  /** Exact dedup: one row kept per normalized-text fingerprint (min id
+    * wins — deterministic). Single hash aggregation, no sort. */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs.select(TextFunctions.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures, explode-first: one row per (doc, shingle), then
+    * `min(xxhash64(shingle, i))` per doc for each of the k hash
+    * functions. Everything — split, hash, partial min — is codegen'd
+    * native functions inside one aggregation; cost is linear in total
+    * shingle count with map-side partial aggregation before the single
+    * exchange on doc id. (The tempting alternative, k×`array_min(
+    * transform(...))` inside one projection, evaluates interpreted
+    * lambdas per element and blows up when band keys duplicate the
+    * signature subtree — measured 40× slower.) */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val exploded = sh.select(col("id"), explode(col("sh")).as("g"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("g"), lit(i))).as(s"m$i"))
+    exploded.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Candidate duplicate pairs via MinHash-LSH, verified with exact
+    * Jaccard over the shingle sets. Returns (doc_a, doc_b, jaccard). */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 64,
+                   bands: Int = 16, threshold: Double = 0.9): DataFrame = {
+    val rows = numHashes / bands
+    val sh = docs
+      .select(col(idCol).as("id"),
+        TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    val sig = minhashSignatures(sh, numHashes)
+    // band key j = one codegen'd hash over that band's r signature mins
+    val bandStructs = (0 until bands).map { j =>
+      val cols = (j * rows until (j + 1) * rows).map(i => col(s"m$i"))
+      struct(lit(j).as("band"), xxhash64(lit(j) +: cols: _*).as("key"))
+    }
+    val banded = sig
+      .select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    // bucket-join: only ids sharing a (band, key) meet. collect_set is
+    // bounded by bucket size; at 100 TB skewed buckets would be capped
+    // (slice) or salted — narrow buckets are the normal case by design.
+    val buckets = banded.groupBy(col("band"), col("key"))
+      .agg(collect_set(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+
+    val cand = buckets
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+
+    val withSets = cand
+      .join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a"), "a")
+      .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "sh_b"), "b")
+
+    withSets
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        round(col("jaccard"), 3).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over distinct tokens: bit b of the signature is the
+    * sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val sums = (0 until 64).map(b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
+        .as(s"s$b"))
+    val bitSums = tok.groupBy(col("id")).agg(sums.head, sums.tail: _*)
+    val sig = (0 until 64).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    bitSums.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Near-dup pairs within Hamming distance `maxHamming` (≤ 3 uses 4
+    * 16-bit chunk blocking — exact by pigeonhole). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs, idCol, textCol)
+    val chunked = sig.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "ckey")))
+    val a = chunked.select(col("chunk"), col("ckey"),
+      col("id").as("a"), col("simhash").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("ckey"),
+      col("id").as("b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Direct n-gram Jaccard pairs (no LSH) — the small-corpus/oracle
+    * path; quadratic via an inverted shingle index rather than a cross
+    * join, so only docs sharing ≥1 shingle ever pair. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = sh.select(col("id"), col("sh"), explode(col("sh")).as("g"))
+    val pairs = inv.select(col("g"), col("id").as("a"))
+      .join(inv.select(col("g"), col("id").as("b")), "g")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sh.select(col("id").as("a"), size(col("sh")).as("na")), "a")
+      .join(sh.select(col("id").as("b"), size(col("sh")).as("nb")), "b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        round(col("jaccard"), 3).as("jaccard"))
+  }
+
+  /** Embedding near-dup: pairs with rounded cosine ≥ threshold.
+    * The id-capped variant is the brute-force correctness path; the
+    * scale path is SRP-LSH in [[graft.similarity.Ann]]. */
+  def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, idCap: Long = Long.MaxValue): DataFrame = {
+    val e = emb.filter(col(idCol) < idCap)
+      .select(col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
+    val a = e.select(col("id").as("a"), col("v").as("va"))
+    val b = e.select(col("id").as("b"), col("v").as("vb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("cos", VectorFunctions.cosineRounded(col("va"), col("vb"), 3))
+      .filter(col("cos") >= threshold)
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("cos").as("cos_sim"))
+  }
+}

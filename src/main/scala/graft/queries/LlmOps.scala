@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextFunctions
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.multimodal.Multimodal
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` fixtures: dedup (exact / MinHash-LSH / SimHash / n-gram
+  * Jaccard / embedding-cosine), similarity search (brute force + LSH),
+  * text analysis (lang-ID, quality, token stats, fingerprints) and
+  * multimodal binary-column plumbing.
+  *
+  * Queries whose algorithm is hash-seeded (MinHash bucketing internals,
+  * SimHash, SRP-LSH) have no SQL oracle — DuckDB can't replay xxhash64 —
+  * but their OUTPUT is still deterministic; where the algorithm's output
+  * is hash-independent (LSH with exact verification at recall ≈ 1) an
+  * exact-Jaccard oracle is declared.
+  */
+object LlmOps {
+
+  private val EMBED_DIM = 64
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d))),
+
+    // LSH + exact-Jaccard verification at threshold 0.9: miss probability
+    // per true pair ≈ (1-0.9⁴)¹⁶ ≈ 4e-8, so the output equals the exact
+    // all-pairs answer (the declared oracle) with near certainty.
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.9)),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3)),
+
+    "q_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleSize = 3, threshold = 0.8)),
+
+    "q_dedup_embed" -> ((s, d) =>
+      Dedup.embeddingPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4)),
+
+    "q_ann_cosine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.bruteForceTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5)
+    }),
+
+    "q_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.lshTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5, dim = EMBED_DIM)
+    }),
+
+    "q_text_langid" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"),
+        round(TextFunctions.stopwordRatio(col("text")), 3).as("stop_ratio"),
+        TextFunctions.langIdGuess(col("text")).as("lang_guess"))),
+
+    "q_text_quality" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+        .withColumn("band",
+          when(col("quality") >= 0.5, "high").otherwise("low"))),
+
+    "q_text_tokens" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"),
+        TextFunctions.distinctTokenCount(col("text")).as("n_distinct"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"))),
+
+    "q_text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        substring(TextFunctions.fingerprint(col("text")), 1, 8).as("fp8"))),
+
+    "q_multimodal" -> ((s, d) =>
+      Multimodal.extractFeatures(s, Tables.documents(s, d)).toDF())
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(lower(trim(text)))""".stripMargin,
+
+    "q_dedup_minhash" -> jaccardOracle(0.9),
+    "q_ngram_jaccard" -> jaccardOracle(0.8),
+
+    "q_dedup_embed" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 3) AS cos_sim
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 3) >= 0.4""".stripMargin,
+
+    "q_ann_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |        ROUND(LIST_COSINE_SIMILARITY(q.v, c.v), 3) AS cos_sim
+        |      FROM e q, e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT qid, nid, cos_sim, rk FROM (
+        |  SELECT qid, nid, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |                       ORDER BY cos_sim DESC, nid) AS rk
+        |  FROM s) t WHERE rk <= 5""".stripMargin,
+
+    "q_text_langid" ->
+      """SELECT doc_id, lang,
+        |  LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '')) AS n_tok,
+        |  ROUND(CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '')) > 0
+        |    THEN LEN(LIST_FILTER(STRING_SPLIT(text,' '),
+        |           x -> x IN ('the','a','and','of','to')))
+        |         / LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> ''))
+        |    ELSE 0.0 END, 3) AS stop_ratio,
+        |  CASE WHEN (CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '')) > 0
+        |    THEN LEN(LIST_FILTER(STRING_SPLIT(text,' '),
+        |           x -> x IN ('the','a','and','of','to')))
+        |         / LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> ''))
+        |    ELSE 0.0 END) > 0.12 THEN 'en_like' ELSE 'other' END AS lang_guess
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    ROUND(0.3 * (CASE WHEN LEN(toks) > 0
+        |        THEN LEN(LIST_DISTINCT(toks)) / LEN(toks) ELSE 0.0 END)
+        |      + 0.3 * LEAST(1.0, n_chars / 500.0)
+        |      + 0.4 * LEAST(1.0, (CASE WHEN LEN(toks) > 0
+        |          THEN CAST(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))) AS DOUBLE) / LEN(toks)
+        |          ELSE 0.0 END) / 8.0), 3) AS quality
+        |  FROM t)
+        |SELECT doc_id, quality,
+        |  CASE WHEN quality >= 0.5 THEN 'high' ELSE 'low' END AS band
+        |FROM q""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '')) AS n_tok,
+        |  LEN(LIST_DISTINCT(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> ''))) AS n_distinct,
+        |  LEN(REGEXP_EXTRACT_ALL(text, '[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9\s]')) AS n_subwords
+        |FROM documents""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp,
+        |  SUBSTRING(md5(lower(trim(text))), 1, 8) AS fp8
+        |FROM documents""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id,
+        |  CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS byte_len,
+        |  CAST(OCTET_LENGTH(ENCODE(text)) % 64 + 1 AS INT) AS width,
+        |  CAST((OCTET_LENGTH(ENCODE(text)) // 64) % 64 + 1 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  CAST(CASE WHEN OCTET_LENGTH(ENCODE(text)) > 0
+        |    THEN ORD(SUBSTRING(text, 1, 1)) ELSE -1 END AS INT) AS first_byte,
+        |  CAST(GREATEST(1, (OCTET_LENGTH(ENCODE(text)) + 255) // 256) AS INT) AS n_frames
+        |FROM documents""".stripMargin
+  )
+
+  /** Exact all-pairs word-3-gram Jaccard — the oracle both LSH-verified
+    * minhash dedup and direct n-gram Jaccard must reproduce. */
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+       |sh AS (SELECT doc_id,
+       |         LIST_DISTINCT([ARRAY_TO_STRING(ts[i:i+2], ' ') FOR i IN RANGE(1, LEN(ts)-1)]) AS s
+       |       FROM d WHERE LEN(ts) >= 3)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  ROUND(LEN(LIST_INTERSECT(a.s, b.s))
+       |    / (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))), 3) AS jaccard
+       |FROM sh a, sh b
+       |WHERE a.doc_id < b.doc_id
+       |  AND LEN(LIST_INTERSECT(a.s, b.s))
+       |    / (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) >= $threshold""".stripMargin
+}

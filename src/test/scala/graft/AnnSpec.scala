@@ -1,0 +1,38 @@
+package graft
+
+import graft.similarity.Ann
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSuite {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+
+  test("brute-force top-k: k rows per query, ranked descending") {
+    val got = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect()
+    val perQ = got.groupBy(_.getLong(0))
+    assert(perQ.size == 10 && perQ.values.forall(_.length == 5))
+    perQ.values.foreach { rows =>
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    assert(got.forall(r => r.getLong(0) != r.getLong(1)), "self match")
+  }
+
+  test("LSH top-k recall vs brute force is reasonable") {
+    val brute = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(queries, emb, "vec_id", "embedding", 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low") // 16×4-bit bands, sf0.001
+  }
+
+  test("SRP signatures are deterministic across runs") {
+    val s1 = Ann.srpSignature(col("embedding"), 64)
+    val a = emb.limit(20).select(col("vec_id"), s1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = emb.limit(20).select(col("vec_id"), s1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.streaming.{EventsStreaming, EventRow}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming semantics driven through MemoryStream: windowed
+  * aggregation, watermark late-data dropping, custom keyed state. */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ev(id: Long, minute: Int, user: Long = 1L,
+                 typ: String = "click", v: Double = 1.0) =
+    EventRow(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+      user, typ, v)
+
+  test("tumbling window counts over a stream") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventsStreaming.tumblingCounts(in.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    in.addData(ev(1, 5), ev(2, 10), ev(3, 59))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT * FROM tumbling_out").collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("n") == 3)
+  }
+
+  test("watermark drops data later than 30 minutes behind the max event") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventsStreaming.tumblingCounts(in.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    // batch 1: events in hour 10; max ts 11:45 pushes watermark to 11:15,
+    // closing the 10:00 window (append emits it)
+    in.addData(ev(1, 5), ev(2, 10))
+    q.processAllAvailable()
+    in.addData(EventRow(3, java.sql.Timestamp.valueOf("2024-01-01 11:45:00"),
+      1L, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: a straggler back in hour 10 — behind the watermark, dropped
+    in.addData(ev(9, 20))
+    q.processAllAvailable(); q.stop()
+    val hour10 = spark.sql(
+      "SELECT n FROM late_out WHERE ws = TIMESTAMP'2024-01-01 10:00:00'")
+      .collect()
+    assert(hour10.length == 1 && hour10.head.getLong(0) == 2,
+      "late row should have been dropped by the watermark")
+  }
+
+  test("mapGroupsWithState keeps running per-user totals") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventsStreaming.runningUserTotals(spark, in.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("state_out").start()
+    in.addData(ev(1, 1, user = 7, v = 2.0), ev(2, 2, user = 7, v = 3.0))
+    q.processAllAvailable()
+    in.addData(ev(3, 3, user = 7, v = 5.0))
+    q.processAllAvailable(); q.stop()
+    val last = spark.sql(
+      "SELECT n_events, sum_value FROM state_out WHERE user_id = 7 " +
+      "ORDER BY n_events DESC LIMIT 1").collect().head
+    assert(last.getLong(0) == 3 && last.getDouble(1) == 10.0)
+  }
+
+  test("session windows group events by 30-minute gaps") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventsStreaming.sessionCounts(in.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out")
+      .start()
+    // two bursts 40 min apart → 2 sessions for the user
+    in.addData(ev(1, 0), ev(2, 5), ev(3, 45), ev(4, 50))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT n FROM sess_out WHERE user_id = 1").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(2L, 2L))
+  }
+}
