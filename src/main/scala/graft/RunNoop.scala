@@ -1,0 +1,24 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev utility: force named queries via noop sink (Bench's exact path). */
+object RunNoop {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.tail.foreach { n =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"$n%-22s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -93,28 +93,21 @@ object Dedup {
         round(col("jaccard"), 3).as("jaccard"))
   }
 
-  /** 64-bit SimHash over distinct tokens: bit b of the signature is the
-    * sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1). */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs
-      .select(col(idCol).as("id"),
-        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val sums = (0 until 64).map(b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
-        .as(s"s$b"))
-    val bitSums = tok.groupBy(col("id")).agg(sums.head, sums.tail: _*)
-    val sig = (0 until 64).map(b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    bitSums.select(col("id"), sig.as("simhash"))
-  }
+  /** 64-bit SimHash per doc — a single native map-side expression
+    * (see [[graft.expressions.SimHash64]]): bit b is set iff the
+    * majority of distinct xxhash64'd tokens have bit b set. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.expressions.SimHashExpression.simhash64(col(textCol)).as("simhash"))
 
   /** Near-dup pairs within Hamming distance `maxHamming` (≤ 3 uses 4
     * 16-bit chunk blocking — exact by pigeonhole). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(docs, idCol, textCol)
+    // one long per doc, computed map-side; the repartition spreads the
+    // chunk-join work across cores (the fixture scan is one split) and
+    // is the natural exchange at cluster scale too.
+    val sig = simhash(docs, idCol, textCol).repartition(col("id"))
     val chunked = sig.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -136,17 +129,28 @@ object Dedup {
     * join, so only docs sharing ≥1 shingle ever pair. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+    // Each inverted-index row carries its doc's set size, so |A| and |B|
+    // flow through the pair aggregation as first() — no join-back to the
+    // shingle table. The repartition is a deliberate exchange barrier:
+    // it materializes (id, n, shingles) exactly once per doc and spreads
+    // the pair-explosion across cores. Without it, whole-stage codegen
+    // fuses scan→shingles→explode→join→agg into the scan's (single)
+    // partition and defers the size() projection to the per-PAIR stream —
+    // measured 10-20× slower. At cluster scale the barrier is the right
+    // plan anyway: an inverted-index join wants to shuffle on its key.
+    val inv = docs.select(col(idCol).as("id"),
         TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-    val inv = sh.select(col("id"), col("sh"), explode(col("sh")).as("g"))
-    val pairs = inv.select(col("g"), col("id").as("a"))
-      .join(inv.select(col("g"), col("id").as("b")), "g")
+      .select(col("id"), size(col("sh")).as("n"), col("sh"))
+      .repartition(col("id"))
+      .select(col("id"), col("n"), explode(col("sh")).as("g"))
+    val pairs = inv.select(col("g"), col("id").as("a"), col("n").as("na"))
+      .join(inv.select(col("g"), col("id").as("b"), col("n").as("nb")), "g")
       .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
     pairs
-      .join(sh.select(col("id").as("a"), size(col("sh")).as("na")), "a")
-      .join(sh.select(col("id").as("b"), size(col("sh")).as("nb")), "b")
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a").as("doc_a"), col("b").as("doc_b"),

@@ -23,24 +23,12 @@ import graft.vector.VectorFunctions
   */
 object Ann {
 
-  /** Deterministic hyperplanes: dim×64 Gaussian-ish values from a fixed
-    * LCG seed (java.util.Random is seed-stable across platforms). */
-  private[graft] def planes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
-  }
-
-  private def planeLit(p: Array[Double]): Column =
-    array(p.map(lit(_)): _*)
-
-  /** 64-bit SRP signature of a vector column. */
-  def srpSignature(vec: Column, dim: Int, bits: Int = 64): Column = {
-    val ps = planes(dim, bits)
-    (0 until bits).map { j =>
-      when(VectorFunctions.dot(vec, planeLit(ps(j))) > 0, lit(1L << j))
-        .otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** 64-bit SRP signature of a vector column — a single native
+    * expression (see [[graft.expressions.SrpSignature]] for why it must
+    * not be built from per-plane literal-array sub-expressions). */
+  def srpSignature(vec: Column, dim: Int, bits: Int = 64): Column =
+    graft.expressions.SrpSignatureExpression.srpSignature(
+      VectorFunctions.asDouble(vec), dim, bits)
 
   /** Attach exploded band keys: the signature is materialized ONCE as a
     * column, then bands are cheap bitwise slices of it — never inline

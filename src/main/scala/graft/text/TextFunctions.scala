@@ -28,10 +28,14 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     regexp_count(text, lit("[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9\\s]"))
 
-  /** Word n-gram shingles (distinct), the MinHash/Jaccard unit.
-    * Empty array when the document has fewer than n tokens — guards the
-    * descending-`sequence` pitfall. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles (distinct), the MinHash/Jaccard unit — native
+    * single-pass expression (empty array below n tokens). */
+  def shingles(text: Column, n: Int): Column =
+    graft.expressions.TextExpressions.wordShingles(text, n)
+
+  /** HOF reference implementation of [[shingles]] (differential tests
+    * only — 100× slower, and re-evaluated per consumer branch). */
+  def shinglesHof(text: Column, n: Int): Column = {
     val toks = rawTokens(text)
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(0), size(toks) - n),

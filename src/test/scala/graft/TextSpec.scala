@@ -1,0 +1,30 @@
+package graft
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("native WordShingles == HOF reference on fixtures and edge cases") {
+    val edge = Seq("", "one", "a b", "a b c", "a b c d", "x  y z",
+      "dup dup dup dup dup").toDF("text")
+    val docs = Tables.documents(spark, sfDir).select(col("text"))
+      .union(edge)
+    val bad = docs.select(
+        TextFunctions.shingles(col("text"), 3).as("nat"),
+        TextFunctions.shinglesHof(col("text"), 3).as("ref"))
+      .filter(col("nat") =!= col("ref")).count()
+    assert(bad == 0)
+  }
+
+  test("quality score in [0,1]; fingerprints stable") {
+    val docs = Tables.documents(spark, sfDir)
+    val qs = docs.select(
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("q")).collect()
+    assert(qs.forall(r => r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0))
+    val fp1 = docs.select(TextFunctions.fingerprint(col("text"))).collect()
+    val fp2 = docs.select(TextFunctions.fingerprint(col("text"))).collect()
+    assert(fp1.sameElements(fp2))
+  }
+}
