@@ -256,6 +256,72 @@ object Relational {
           max(col("k")).as("max_k"))
     }),
 
+    // ---- exact percentiles (sort-based aggregate) ----
+    "q_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 3).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 3).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 3).as("price_p25"))
+    }),
+
+    // ---- approximate distinct (HLL++ sketch; no SQL oracle — sketch
+    //      implementations differ across engines, accuracy is asserted
+    //      against the exact count in the test suite) ----
+    "q_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    }),
+
+    // ---- pivot (wide aggregation) ----
+    "q_pivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    // ---- scalar subquery ----
+    "q_scalar_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders_sq
+              |WHERE o_totalprice > 2 * (
+              |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |         / COUNT(*) FROM orders_sq)""".stripMargin)
+    }),
+
+    // ---- conditional expressions ----
+    "q_conditional" -> ((s, d) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") > 40, "bulk")
+          .when(col("l_quantity") > 10, "mid")
+          .otherwise("small").as("qty_band"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("rf"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        least(col("l_tax"), col("l_discount")).as("min_rate"))
+    }),
+
+    // ---- array aggregation (collect + sort, emitted as string) ----
+    "q_array_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .groupBy(col("l_orderkey"))
+        .agg(array_join(sort_array(collect_list(col("l_quantity").cast("int"))), ",")
+          .as("quantities"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- union all (bag semantics) ----
+    "q_set_union_all" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nk"))
+      val su = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nk"))
+      c.union(su).groupBy(col("nk")).agg(count(lit(1)).as("n"))
+    }),
+
     // ---- wordcount (the reference's regression workload; KV shuffle) ----
     "q_wordcount" -> ((s, d) => {
       Tables.documents(s, d)
@@ -417,6 +483,48 @@ object Relational {
         |  CAST(SUM(CAST(REGEXP_EXTRACT(props, '"k":\s*(\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
         |  MAX(CAST(REGEXP_EXTRACT(props, '"k":\s*(\d+)', 1) AS INT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(QUANTILE_CONT(l_quantity, 0.5), 3) AS p50,
+        |  ROUND(QUANTILE_CONT(l_quantity, 0.9), 3) AS p90,
+        |  ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 3) AS price_p25
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |  COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS A,
+        |  COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS N,
+        |  COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS R
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 2 * (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / COUNT(*) FROM orders)""".stripMargin,
+
+    "q_conditional" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity > 40 THEN 'bulk'
+        |       WHEN l_quantity > 10 THEN 'mid'
+        |       ELSE 'small' END AS qty_band,
+        |  COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS rf,
+        |  GREATEST(l_tax, l_discount) AS max_rate,
+        |  LEAST(l_tax, l_discount) AS min_rate
+        |FROM lineitem""".stripMargin,
+
+    "q_array_agg" ->
+      """SELECT l_orderkey,
+        |  ARRAY_TO_STRING(LIST_SORT(LIST(CAST(l_quantity AS INT))), ',') AS quantities,
+        |  COUNT(*) AS n
+        |FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey""".stripMargin,
+
+    "q_set_union_all" ->
+      """SELECT nk, COUNT(*) AS n FROM (
+        |  SELECT CAST(c_nationkey AS INT) AS nk FROM customer
+        |  UNION ALL SELECT CAST(s_nationkey AS INT) AS nk FROM supplier) AS t
+        |GROUP BY nk""".stripMargin,
 
     "q_wordcount" ->
       """SELECT tok, COUNT(*) AS cnt FROM (

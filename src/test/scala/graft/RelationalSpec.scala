@@ -31,6 +31,15 @@ class RelationalSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
   }
 
+  test("approx_count_distinct within 5% of exact") {
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, sfDir).head()
+    val li = Tables.lineitem(spark, sfDir)
+    val exactOrders = li.select(col("l_orderkey")).distinct().count()
+    val exactParts = li.select(col("l_partkey")).distinct().count()
+    assert(math.abs(approx.getLong(0) - exactOrders).toDouble / exactOrders < 0.05)
+    assert(math.abs(approx.getLong(1) - exactParts).toDouble / exactParts < 0.05)
+  }
+
   test("broadcast join plans as BroadcastHashJoin (fact not shuffled)") {
     val plan = SparkEntry.queries("q_join_bcast")(spark, sfDir)
       .queryExecution.executedPlan.toString
