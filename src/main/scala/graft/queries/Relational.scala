@@ -256,6 +256,23 @@ object Relational {
           max(col("k")).as("max_k"))
     }),
 
+    // ---- typed UDAF (exact weighted average, order-free buffer) ----
+    "q_udaf" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_u")
+      s.sql("""SELECT l_returnflag,
+              |  graft_wavg(l_extendedprice, l_quantity) AS wavg_price
+              |FROM lineitem_u GROUP BY l_returnflag""".stripMargin)
+    }),
+
+    // ---- scalar UDF surface (deliberately; expressions are preferred) ----
+    "q_udf" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_u2")
+      s.sql("""SELECT graft_qty_band(l_quantity) AS band, COUNT(*) AS n
+              |FROM lineitem_u2 GROUP BY graft_qty_band(l_quantity)""".stripMargin)
+    }),
+
     // ---- exact percentiles (sort-based aggregate) ----
     "q_percentile" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -483,6 +500,21 @@ object Relational {
         |  CAST(SUM(CAST(REGEXP_EXTRACT(props, '"k":\s*(\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
         |  MAX(CAST(REGEXP_EXTRACT(props, '"k":\s*(\d+)', 1) AS INT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_udaf" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+        |           * CAST(ROUND(l_quantity, 0) AS BIGINT)) AS DOUBLE) / 100
+        |    / CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS DOUBLE)
+        |    AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_udf" ->
+      """SELECT CASE WHEN l_quantity > 40 THEN 'bulk'
+        |            WHEN l_quantity > 10 THEN 'mid'
+        |            ELSE 'small' END AS band, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY 1""".stripMargin,
 
     "q_percentile" ->
       """SELECT l_returnflag,

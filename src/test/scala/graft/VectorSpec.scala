@@ -24,6 +24,19 @@ class VectorSpec extends SparkSuite {
     assert(diff.getDouble(1) < 1e-12, s"cosine differs by ${diff.getDouble(1)}")
   }
 
+  test("native expressions callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1d,2d,3d), array(1d,2d,3d)) AS c,
+        |       graft_dot(array(1d,2d), array(3d,4d)) AS d,
+        |       graft_simhash64('a b c a') AS s,
+        |       size(graft_shingles('a b c d')) AS ns""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getLong(2) != 0L)
+    assert(r.getInt(3) == 2)
+  }
+
   test("cosine of identical vectors is 1, zero vector is 0") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0)),
       (Array(0.0, 0.0, 0.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
