@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Benchmark main: runs every registered query against
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line of per-query seconds.
@@ -8,8 +9,25 @@ import org.apache.spark.sql.SparkSession
   * Each query is forced with a noop datasource write — unlike `count()`,
   * which lets Catalyst drop sorts/projections, noop executes the full
   * physical plan including output row production (what a real sink pays).
+  *
+  * Failures are NOT swallowed: a query that throws is reported in an
+  * `errors` map (and excluded from the timing map) so a bench-only
+  * regression (e.g. an OOM that only appears at bench scale) is visible
+  * instead of masquerading as a fast run. Row counts come from an
+  * `Observation` attached to the second (timed-min) run — the observe
+  * node is a metrics tap, not a plan change.
   */
 object Bench {
+  private def jesc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -26,20 +44,37 @@ object Bench {
     // two runs per query, min reported: the first run absorbs plan
     // compilation and any transient host stall; min-of-2 is the steady
     // state a warmed cluster would show.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    val timings = collection.mutable.LinkedHashMap[String, Double]()
+    val rowCounts = collection.mutable.LinkedHashMap[String, Long]()
+    val errors = collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val times = (1 to 2).flatMap { i =>
+        val obs = if (i == 2) Some(new Observation(s"rows_$name")) else None
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+          val df = fn(spark, sfDir)
+          val tapped = obs.map(o => df.observe(o, count(lit(1)).as("rows"))).getOrElse(df)
+          tapped.write.format("noop").mode("overwrite").save()
+          obs.foreach(o => rowCounts(name) = o.get("rows").asInstanceOf[Long])
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+          errors(name) = msg
+          System.err.println(s"[bench] $name FAILED run $i: $msg")
+          None
+        }
       }
-      name -> times.min
+      if (times.nonEmpty && !errors.contains(name)) timings(name) = times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val rs = rowCounts.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => "\"" + k + "\":\"" + jesc(v) + "\"" }
+      .mkString("{", ",", "}")
+    val total = timings.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

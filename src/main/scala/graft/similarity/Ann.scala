@@ -20,29 +20,48 @@ import graft.vector.VectorFunctions
   *    join never exists. Band width trades recall vs candidate volume:
   *    16×4-bit bands give ~0.9 recall at cosine ≈ 0.4 (this corpus);
   *    a high-similarity corpus (near-dups at 0.95+) would use 8×8.
+  *
+  * Shuffle hygiene (the rule every banded operator here follows): band
+  * keys and ids are the ONLY columns that ever enter an exchange.
+  * Vector payloads stay with their partition until after candidate
+  * pairs are deduplicated to bare id pairs; at 64-dim×8 B a vector is
+  * ~0.5 KB, so shuffling it once per duplicate band hit would multiply
+  * exchange volume by orders of magnitude for zero information.
   */
 object Ann {
 
   /** 64-bit SRP signature of a vector column — a single native
     * expression (see [[graft.expressions.SrpSignature]] for why it must
     * not be built from per-plane literal-array sub-expressions). */
-  def srpSignature(vec: Column, dim: Int, bits: Int = 64): Column =
+  def srpSignature(vec: Column, dim: Int, bits: Int = 64, seed: Long = 42L): Column =
     graft.expressions.SrpSignatureExpression.srpSignature(
-      VectorFunctions.asDouble(vec), dim, bits)
+      VectorFunctions.asDouble(vec), dim, bits, seed)
 
-  /** Attach exploded band keys: the signature is materialized ONCE as a
+  /** Attach exploded band keys: each signature is materialized ONCE as a
     * column, then bands are cheap bitwise slices of it — never inline
     * the 64-dot signature expression into every band (it would be
-    * re-evaluated per band). */
-  private def withBandKeys(df: DataFrame, vecCol: String, dim: Int,
-                           bits: Int, bands: Int): DataFrame = {
+    * re-evaluated per band).
+    *
+    * `numSigs` independent signatures (seeds baseSeed..baseSeed+n-1)
+    * extend banding beyond 64 bits: b = bands·numSigs total bands. For a
+    * pair at cosine τ, per-bit agreement is p = 1 − acos(τ)/π and the
+    * miss probability is (1 − p^(bits/bands))^b — e.g. τ=0.4, 4-bit
+    * bands, b=64 → (1 − 0.631⁴)⁶⁴ ≈ 1.6e-5.
+    */
+  private[graft] def withBandKeys(df: DataFrame, vecCol: String, dim: Int,
+                                  bits: Int, bands: Int, numSigs: Int = 1,
+                                  baseSeed: Long = 42L): DataFrame = {
     val width = bits / bands
     val mask = (1L << width) - 1
-    df.withColumn("__sig", srpSignature(col(vecCol), dim, bits))
-      .withColumn("bk", explode(array((0 until bands).map(c =>
-        struct(lit(c).as("band"),
-          shiftright(col("__sig"), c * width).bitwiseAND(lit(mask)).as("key"))): _*)))
-      .drop("__sig")
+    val sigCols = (0 until numSigs).map(s =>
+      srpSignature(col(vecCol), dim, bits, baseSeed + s).as(s"__sig$s"))
+    val withSigs = df.select(col("*") +: sigCols: _*)
+    val bandStructs = for { s <- 0 until numSigs; c <- 0 until bands } yield
+      struct(lit(s * bands + c).as("band"),
+        shiftright(col(s"__sig$s"), c * width).bitwiseAND(lit(mask)).as("key"))
+    withSigs
+      .withColumn("bk", explode(array(bandStructs: _*)))
+      .drop((0 until numSigs).map(s => s"__sig$s"): _*)
   }
 
   /** Exact top-k neighbors for each query row, ranked by cosine rounded
@@ -65,20 +84,32 @@ object Ann {
 
   /** Approximate top-k via SRP-LSH bucketing: same output shape as
     * [[bruteForceTopK]] but only candidates sharing a signature band are
-    * scored. Recall is checked in the test suite against brute force. */
+    * scored. Recall is checked in the test suite against brute force.
+    *
+    * The band join and the candidate dedup both carry (qid, nid) ids
+    * ONLY — never the vectors. Vectors re-attach afterwards: the query
+    * side is broadcast (few queries by contract), and the candidate-pair
+    * table is broadcast against the corpus so the corpus itself never
+    * shuffles. The one post-scoring exchange (window over qid) carries
+    * three scalar columns.
+    */
   def lshTopK(queries: DataFrame, candidates: DataFrame,
               idCol: String, vecCol: String, k: Int, dim: Int,
               bits: Int = 64, bands: Int = 16): DataFrame = {
-    val q = withBandKeys(queries.select(col(idCol).as("qid"),
-      VectorFunctions.asDouble(col(vecCol)).as("qv")), "qv", dim, bits, bands)
-    val c = withBandKeys(candidates.select(col(idCol).as("nid"),
-      VectorFunctions.asDouble(col(vecCol)).as("cv")), "cv", dim, bits, bands)
-    val cand = q.join(c, "bk")
+    val q = queries.select(col(idCol).as("qid"),
+      VectorFunctions.asDouble(col(vecCol)).as("qv"))
+    val c = candidates.select(col(idCol).as("nid"),
+      VectorFunctions.asDouble(col(vecCol)).as("cv"))
+    val qb = withBandKeys(q, "qv", dim, bits, bands).select(col("qid"), col("bk"))
+    val cb = withBandKeys(c, "cv", dim, bits, bands).select(col("nid"), col("bk"))
+    val cand = qb.join(cb, "bk")
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("qv"), col("nid"), col("cv"))
+      .select(col("qid"), col("nid"))
       .distinct()
-    val scored = cand.withColumn("cos_sim",
-      VectorFunctions.cosineRounded(col("qv"), col("cv"), 3))
+    val scored = c.join(broadcast(cand), "nid")
+      .join(broadcast(q), "qid")
+      .withColumn("cos_sim", VectorFunctions.cosineRounded(col("qv"), col("cv"), 3))
+      .select(col("qid"), col("nid"), col("cos_sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid"))
     scored.withColumn("rk", row_number().over(w))

@@ -29,6 +29,25 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall $recall too low") // 16×4-bit bands, sf0.001
   }
 
+  test("LSH top-k shuffles never carry vector payloads") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    // AQE off so EnsureRequirements-planned exchanges are inspectable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Ann.lshTopK(queries, emb, "vec_id", "embedding", 5, dim = 64)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected at least one shuffle (band join)")
+      exchanges.foreach { e =>
+        val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(arrays.isEmpty,
+          s"shuffle carries array payloads: ${arrays.map(_.name).mkString(",")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("SRP signatures are deterministic across runs") {
     val s1 = Ann.srpSignature(col("embedding"), 64)
     val a = emb.limit(20).select(col("vec_id"), s1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet

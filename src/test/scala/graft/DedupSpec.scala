@@ -43,11 +43,33 @@ class DedupSpec extends SparkSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == brute)
   }
 
-  test("embedding near-dup pairs are symmetric-free and above threshold") {
+  test("embedding near-dup: banded == brute force, and no cross join in plan") {
     val emb = Tables.embeddings(spark, sfDir)
-    val pairs = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.4).collect()
-    assert(pairs.nonEmpty)
-    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
-    assert(pairs.forall(r => r.getDouble(2) >= 0.4))
+    val banded = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.4, dim = 64)
+    val plan = banded.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in banded plan:\n$plan")
+    val got = banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Dedup.embeddingPairsBrute(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute, s"missed ${brute -- got} / extra ${got -- brute}")
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, c) => a < b && c >= 0.4 })
+  }
+
+  test("minhash survives a duplicate-heavy corpus (signature collapse)") {
+    import spark.implicits._
+    // 1000 copies of one doc + 3 copies of another: the banding join must
+    // see ONE row per distinct signature, not 1000 (hot-bucket hardening),
+    // while the output still contains every duplicate pair.
+    val n = 1000
+    val dup = (0L until n).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val other = (n until n + 3).map(i => (i.toLong, "one two three four five six"))
+    val docs = (dup ++ other).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.9)
+    assert(pairs.count() == n.toLong * (n - 1) / 2 + 3)
+    assert(pairs.filter(col("jaccard") < 1.0).count() == 0)
   }
 }
