@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.sources.Layout
+
+/** Storage-layout operators: partitioned writes with pruned reads, and
+  * bucketed writes with exchange-free joins (see [[graft.sources.Layout]]
+  * for the reference mapping). Each query WRITES the layout it then
+  * reads, so the whole write→prune / write→co-located-join path is
+  * exercised by the CORRECTNESS gate, with the oracle running against
+  * the original flat table.
+  */
+object Storage {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Scratch root, keyed by the sf dir so sf0.01 and sf0.1 runs in one
+    * session never collide. */
+  private def scratch(d: String): String =
+    s"/tmp/graft_layout/${java.lang.Integer.toHexString(d.hashCode)}"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // partitioned write → partition-pruned read: the filter on the
+    // partition column eliminates whole directories at planning time
+    "q_part_prune" -> ((s, d) => {
+      val path = s"${scratch(d)}/orders_by_status"
+      Layout.writePartitioned(Tables.orders(s, d), path, "o_orderstatus")
+      s.read.parquet(path)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // bucketed write on the join key → sort-merge join with NO exchange
+    // on either side (both tables pre-bucketed into the same 8 buckets)
+    "q_bucket_join" -> ((s, d) => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val co = s"cust_b_$tag"
+      val oo = s"ord_b_$tag"
+      Layout.writeBucketed(Tables.customer(s, d), co,
+        s"${scratch(d)}/$co", 8, "c_custkey", "c_custkey")
+      Layout.writeBucketed(Tables.orders(s, d), oo,
+        s"${scratch(d)}/$oo", 8, "o_custkey", "o_custkey")
+      s.table(co).join(s.table(oo), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_part_prune" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_bucket_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin
+  )
+}

@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical data layout: partitioned and bucketed parquet writes.
+  *
+  * This is the batch-sink analog of the reference's provider-side
+  * layout — one data file per map task plus a partition index that
+  * lets a reducer fetch exactly its slice
+  * (reference src/MOFServer/IndexInfo.h:98-121, IndexInfo.cc:237-335):
+  *  - `partitionBy` writes hive-style `col=value/` directories; a
+  *    filter on the partition column prunes whole directories at
+  *    planning time (PartitionFilters in the scan — never opens the
+  *    files), the moral equivalent of fetching only your index slice.
+  *  - `bucketBy(+sortBy)` pre-shuffles (and pre-sorts) rows into a
+  *    fixed number of hash buckets at WRITE time, so a later join or
+  *    aggregation on the bucket key runs with NO exchange — the
+  *    write-side shuffle is paid once and amortized over every
+  *    downstream query, exactly the reference's motivation for keeping
+  *    reduce-partitioned MOFs on the provider.
+  */
+object Layout {
+
+  /** Hive-style partitioned parquet write; reads with a filter on any
+    * `partitionCols` prune directories at planning time. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed (+ optionally sorted) parquet table at an explicit path.
+    * Bucket metadata lives in the session catalog, so read back with
+    * `spark.table(tableName)` — a raw path read would not know the
+    * bucketing and would re-shuffle. */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+                    numBuckets: Int, bucketCol: String,
+                    sortCols: String*): Unit = {
+    val w = df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.format("parquet").saveAsTable(tableName)
+  }
+}

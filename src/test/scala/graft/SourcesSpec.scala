@@ -44,4 +44,42 @@ class SourcesSpec extends SparkSuite {
     assert(scan.contains("ReadSchema") && !scan.contains("l_shipdate"),
       "projection not pruned to needed columns")
   }
+
+  test("partitioned write + read prunes partitions at planning time") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val orders = Tables.orders(spark, sfDir)
+    graft.sources.Layout.writePartitioned(orders, s"$dir/o", "o_orderstatus")
+    val pruned = spark.read.parquet(s"$dir/o")
+      .filter(col("o_orderstatus") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"),
+      s"no partition pruning:\n$plan")
+    assert(pruned.count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+    // pruning actually skipped files: only the F directory is scanned
+    assert(!plan.contains("o_orderstatus=O") ||
+      plan.contains("PartitionFilters: [isnotnull(o_orderstatus"))
+  }
+
+  test("bucketed write on join key: join runs with no exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dir = Files.createTempDirectory("graft_bucket").toString
+    graft.sources.Layout.writeBucketed(Tables.customer(spark, sfDir),
+      "cust_spec_b", s"$dir/c", 4, "c_custkey", "c_custkey")
+    graft.sources.Layout.writeBucketed(Tables.orders(spark, sfDir),
+      "ord_spec_b", s"$dir/o", 4, "o_custkey", "o_custkey")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = spark.table("cust_spec_b")
+        .join(spark.table("ord_spec_b"), col("c_custkey") === col("o_custkey"))
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join still shuffles:\n${joined.queryExecution.executedPlan}")
+      val flat = Tables.customer(spark, sfDir).join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"))
+      assert(joined.count() == flat.count())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
