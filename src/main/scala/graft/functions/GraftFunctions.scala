@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
@@ -51,6 +52,16 @@ object GraftFunctions {
       exprs => graft.expressions.SimHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_shingles",
       exprs => graft.expressions.WordShingles(exprs.head, 3), "scala_udf")
+    // UDTF surface: a custom Generator usable via LATERAL VIEW; the
+    // shingle size must be a literal (it shapes the generator itself)
+    reg.createOrReplaceTempFunction("graft_posexplode_shingles",
+      exprs => graft.expressions.PosExplodeShingles(exprs(0),
+        if (exprs.length > 1)
+          exprs(1).eval(InternalRow.empty) match {
+            case i: Int => i
+            case l: Long => l.toInt
+          }
+        else 3), "scala_udf")
     spark.udf.register("graft_wavg", udaf(WeightedAvgCents))
     // scalar UDF exemplar — same banding as q_conditional but through
     // the UDF machinery, to exercise that surface deliberately

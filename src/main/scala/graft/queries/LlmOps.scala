@@ -90,7 +90,30 @@ object LlmOps {
         substring(TextFunctions.fingerprint(col("text")), 1, 8).as("fp8"))),
 
     "q_multimodal" -> ((s, d) =>
-      Multimodal.extractFeatures(s, Tables.documents(s, d)).toDF())
+      Multimodal.extractFeatures(s, Tables.documents(s, d)).toDF()),
+
+    // TF-IDF: two corpus-wide aggregates (term frequency per doc,
+    // document frequency per term) + a broadcast join-back of the small
+    // DF table — the fact-side token stream shuffles exactly once (the
+    // tf groupBy); the per-term and corpus-size aggregates are dims.
+    // Output is capped to doc_id < 100, but DF/IDF are computed over
+    // the FULL corpus (the cap filters the tf side only).
+    "q_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.select(count(lit(1)).as("n_docs"))
+      tf.filter(col("doc_id") < 100)
+        .join(broadcast(dfreq), "tok")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 3))
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("tfidf"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -166,6 +189,18 @@ object LlmOps {
       """SELECT doc_id, md5(lower(trim(text))) AS fp,
         |  SUBSTRING(md5(lower(trim(text))), 1, 8) AS fp8
         |FROM documents""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+        |              FROM documents),
+        |t AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |      WHERE tok <> '' GROUP BY doc_id, tok),
+        |d AS (SELECT tok, COUNT(*) AS df FROM t GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT t.doc_id, t.tok, t.tf, d.df,
+        |  ROUND(t.tf * LN(CAST(n_docs AS DOUBLE) / df), 3) AS tfidf
+        |FROM t JOIN d USING (tok), n
+        |WHERE t.doc_id < 100""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id,

@@ -339,6 +339,15 @@ object Relational {
       c.union(su).groupBy(col("nk")).agg(count(lit(1)).as("n"))
     }),
 
+    // ---- UDTF surface: custom Generator via LATERAL VIEW ----
+    "q_udtf" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d).filter(col("doc_id") < 50)
+        .createOrReplaceTempView("docs_udtf")
+      s.sql("""SELECT doc_id, pos, shingle FROM docs_udtf
+              |LATERAL VIEW graft_posexplode_shingles(text, 3) g AS pos, shingle""".stripMargin)
+    }),
+
     // ---- wordcount (the reference's regression workload; KV shuffle) ----
     "q_wordcount" -> ((s, d) => {
       Tables.documents(s, d)
@@ -557,6 +566,22 @@ object Relational {
         |  SELECT CAST(c_nationkey AS INT) AS nk FROM customer
         |  UNION ALL SELECT CAST(s_nationkey AS INT) AS nk FROM supplier) AS t
         |GROUP BY nk""".stripMargin,
+
+    // positions are first-occurrence ranks of DISTINCT shingles, mirrored
+    // via MIN(i) + ROW_NUMBER in DuckDB (list_distinct's order is
+    // unspecified there, so order is reconstructed explicitly)
+    "q_udtf" ->
+      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts
+        |           FROM documents WHERE doc_id < 50),
+        |raw AS (SELECT doc_id, i, ARRAY_TO_STRING(ts[i:i+2], ' ') AS shingle
+        |        FROM d, UNNEST(RANGE(1, LEN(ts)-1)) AS t(i)
+        |        WHERE LEN(ts) >= 3),
+        |f AS (SELECT doc_id, shingle, MIN(i) AS fi
+        |      FROM raw GROUP BY doc_id, shingle)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fi) - 1 AS INT) AS pos,
+        |  shingle
+        |FROM f""".stripMargin,
 
     "q_wordcount" ->
       """SELECT tok, COUNT(*) AS cnt FROM (

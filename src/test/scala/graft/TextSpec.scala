@@ -6,6 +6,24 @@ import org.apache.spark.sql.functions._
 class TextSpec extends SparkSuite {
   import spark.implicits._
 
+  test("UDTF generator == posexplode(shingles) on fixtures and edge cases") {
+    graft.functions.GraftFunctions.register(spark)
+    val edge = Seq((9001L, ""), (9002L, "one"), (9003L, "a b c"),
+      (9004L, "dup dup dup dup dup")).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).union(edge)
+    docs.createOrReplaceTempView("docs_udtf_spec")
+    val viaGen = spark.sql(
+      """SELECT doc_id, pos, shingle FROM docs_udtf_spec
+        |LATERAL VIEW graft_posexplode_shingles(text, 3) g AS pos, shingle""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val viaExplode = docs.select(col("doc_id"),
+        posexplode(TextFunctions.shingles(col("text"), 3)).as(Seq("pos", "shingle")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaGen == viaExplode)
+    assert(viaGen.nonEmpty)
+  }
+
   test("native WordShingles == HOF reference on fixtures and edge cases") {
     val edge = Seq("", "one", "a b", "a b c", "a b c d", "x  y z",
       "dup dup dup dup dup").toDF("text")
