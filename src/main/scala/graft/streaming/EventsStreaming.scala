@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** One event row as the streaming surface sees it. */
 case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -67,6 +67,32 @@ object EventsStreaming {
           next
       }
   }
+
+  /** Streaming exact dedup: one row per event_id, duplicate arrivals
+    * within the watermark horizon dropped. State is keyed on event_id
+    * and evicted once the watermark passes each key's expiry — the
+    * bound that keeps an unbounded stream's dedup state finite (the
+    * north-star dedup operator, incrementalized). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Checkpointed parquet sink: the recovery story. The checkpoint dir
+    * holds source offsets + operator state (WAL) and the sink's
+    * `_spark_metadata` commit log makes file output exactly-once — a
+    * restarted query resumes from the last committed batch without
+    * re-emitting it, the Spark analog of the reference consumer's
+    * fallback+replay path
+    * (plugins/shared/.../UdaShuffleConsumerPluginShared.java:162-344). */
+  def toParquetSink(df: DataFrame, path: String,
+                    checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .start()
 
   /** Flat-map variant emitting one record per closed session (append
     * mode compatible): demonstrates flatMapGroupsWithState. */
