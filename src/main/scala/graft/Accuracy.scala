@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Ann
+
+/** Machine-checkable accuracy for the hash-seeded queries DuckDB cannot
+  * replay (`q_ann_lsh`, `q_approx_distinct`, `q_dedup_simhash`). The
+  * same assertions live in the ScalaTest suites; this mirrors them into
+  * a driver-readable artifact (`accuracy.json`, written by [[Verify]])
+  * so the green is visible outside the test runner.
+  */
+object Accuracy {
+
+  case class Check(query: String, metric: String, value: Double,
+                   threshold: Double, pass: Boolean)
+
+  def checks(spark: SparkSession, d: String): Seq[Check] = {
+    // q_ann_lsh: recall of SRP-LSH top-k vs exact brute-force top-k
+    val e = Tables.embeddings(spark, d)
+    val q = e.filter(col("vec_id") < 10)
+    val brute = Ann.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(q, e, "vec_id", "embedding", 5, dim = 64)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+
+    // q_approx_distinct: HLL++ (rsd=0.02) vs exact distinct counts
+    val li = Tables.lineitem(spark, d)
+    val approx = li.agg(
+      approx_count_distinct(col("l_orderkey"), 0.02),
+      approx_count_distinct(col("l_partkey"), 0.02)).head
+    val exact = li.agg(
+      countDistinct(col("l_orderkey")), countDistinct(col("l_partkey"))).head
+    val err = math.max(
+      math.abs(approx.getLong(0) - exact.getLong(0)).toDouble / exact.getLong(0),
+      math.abs(approx.getLong(1) - exact.getLong(1)).toDouble / exact.getLong(1))
+
+    // q_dedup_simhash: chunk blocking at hamming<=3 is exact by
+    // pigeonhole — pair set must EQUAL the all-pairs answer
+    val docs = Tables.documents(spark, d)
+    val blocked = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b")
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+    val a = sigs.select(col("id").as("doc_a"), col("simhash").as("sa"))
+    val b = sigs.select(col("id").as("doc_b"), col("simhash").as("sb"))
+    val allPairs = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select("doc_a", "doc_b")
+    val diff = blocked.exceptAll(allPairs).count() +
+      allPairs.exceptAll(blocked).count()
+
+    Seq(
+      Check("q_ann_lsh", "topk_recall_vs_brute_force", recall, 0.5, recall >= 0.5),
+      Check("q_approx_distinct", "max_rel_error_vs_exact", err, 0.05, err <= 0.05),
+      Check("q_dedup_simhash", "pairs_diff_vs_all_pairs", diff.toDouble, 0.0, diff == 0))
+  }
+
+  def toJson(cs: Seq[Check]): String =
+    cs.map { c =>
+      s""""${c.query}": {"metric": "${c.metric}", "value": ${c.value}, """ +
+        s""""threshold": ${c.threshold}, "pass": ${c.pass}}"""
+    }.mkString("{", ", ", "}")
+}

@@ -37,6 +37,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // accuracy artifact for the hash-seeded no-oracle queries: recall /
+    // error / exact-equality vs in-Spark ground truth, machine-readable
+    try {
+      val acc = graft.Accuracy.checks(spark, sfDir)
+      Files.writeString(Paths.get(s"$outDir/accuracy.json"),
+        graft.Accuracy.toJson(acc))
+      acc.filterNot(_.pass).foreach(c =>
+        System.err.println(s"[verify] ACCURACY FAIL ${c.query}: ${c.metric}=${c.value}"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] accuracy checks failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
