@@ -132,6 +132,58 @@ object Relational {
         .agg(count(lit(1)).as("n_lines"))
     }),
 
+    // ---- salted join (single-hot-key skew; output == plain join) ----
+    "q_join_salted" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("pk"), col("l_quantity"))
+      val p = Tables.part(s, d)
+        .select(col("p_partkey").as("pk"), col("p_brand"))
+      graft.operators.SkewJoin.saltedJoin(li, p, "pk", salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // ---- window frames: ntile, running first, range-frame count ----
+    "q_window_frames" -> ((s, d) => {
+      val base = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val runFirst = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // tie-inclusive RANGE frame: deterministic even with equal prices
+      val near = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice")).rangeBetween(-1000, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("quartile", ntile(4).over(base))
+        .withColumn("first_key", first(col("o_orderkey")).over(runFirst))
+        .withColumn("n_close", count(lit(1)).over(near))
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("quartile"), col("first_key"), col("n_close"))
+    }),
+
+    // ---- column profiling (data-quality pass): ONE scan computes
+    //      nulls/distinct/min/max/avg for every profiled column, then the
+    //      single result row is unpivoted — never k scans for k columns ----
+    "q_profile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        sum(dec(col(c))).cast("double").as(s"${c}__sum")))
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(col("n_rows"), explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"),
+            col(s"${c}__nulls").as("n_nulls"),
+            col(s"${c}__distinct").as("n_distinct"),
+            col(s"${c}__min").as("min_v"),
+            col(s"${c}__max").as("max_v"),
+            (col(s"${c}__sum") / col("n_rows")).as("avg_v"))): _*)).as("p"))
+        .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),
+          col("p.n_distinct"), col("p.min_v"), col("p.max_v"), col("p.avg_v"))
+    }),
+
     // ---- distinct aggregation ----
     "q_agg_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -420,6 +472,36 @@ object Relational {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |  AND l_quantity >= p_size - 5 AND l_quantity <= p_size + 5
         |GROUP BY p_brand""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT p_brand, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
+    "q_window_frames" ->
+      """SELECT o_orderkey, o_orderpriority, quartile, first_key, n_close
+        |FROM (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+        |                        ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile,
+        |    FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |      RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_close
+        |  FROM orders) AS t
+        |WHERE o_orderkey < 1000""".stripMargin,
+
+    "q_profile" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v,
+           |  CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_v
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n"),
 
     "q_agg_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,

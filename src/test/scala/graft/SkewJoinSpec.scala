@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.SkewJoin
+import org.apache.spark.sql.functions._
+
+class SkewJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  // 10k rows, 95% on one hot key — the shape that makes one task a straggler
+  private lazy val fact = spark.range(10000)
+    .select(when(col("id") % 20 === 0, col("id") % 5).otherwise(lit(1L)).as("k"),
+      col("id").as("payload"))
+  private lazy val dim = Seq((0L, "zero"), (1L, "one"), (2L, "two"),
+    (3L, "three"), (4L, "four")).toDF("k", "name")
+
+  test("salted inner join == plain join on a skewed key") {
+    val plain = fact.join(dim, "k")
+      .groupBy(col("name")).agg(count(lit(1)).as("n"), sum(col("payload")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = SkewJoin.saltedJoin(fact, dim, "k", salts = 8)
+      .groupBy(col("name")).agg(count(lit(1)).as("n"), sum(col("payload")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("salted left join preserves unmatched fact rows") {
+    val factExtra = fact.union(Seq((99L, -1L)).toDF("k", "payload"))
+    val plain = factExtra.join(dim, Seq("k"), "left").count()
+    val salted = SkewJoin.saltedJoin(factExtra, dim, "k", 8, "left").count()
+    assert(salted == plain)
+    assert(SkewJoin.saltedJoin(factExtra, dim, "k", 8, "left")
+      .filter(col("k") === 99).count() == 1)
+  }
+
+  test("dim-duplicating join types are rejected") {
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(fact, dim, "k", 8, "right")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(fact, dim, "k", 8, "full_outer")
+    }
+  }
+}
