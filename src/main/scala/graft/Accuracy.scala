@@ -28,6 +28,12 @@ object Accuracy {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
 
+    // q_ann_ivf: recall of IVF nProbe-cell search vs brute force
+    val ivf = Ann.ivfTopK(q, e, "vec_id", "embedding", 5, dim = 64)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = (brute & ivf).size.toDouble / brute.size
+
     // q_approx_distinct: HLL++ (rsd=0.02) vs exact distinct counts
     val li = Tables.lineitem(spark, d)
     val approx = li.agg(
@@ -55,6 +61,8 @@ object Accuracy {
 
     Seq(
       Check("q_ann_lsh", "topk_recall_vs_brute_force", recall, 0.5, recall >= 0.5),
+      Check("q_ann_ivf", "topk_recall_vs_brute_force", ivfRecall, 0.5,
+        ivfRecall >= 0.5),
       Check("q_approx_distinct", "max_rel_error_vs_exact", err, 0.05, err <= 0.05),
       Check("q_dedup_simhash", "pairs_diff_vs_all_pairs", diff.toDouble, 0.0, diff == 0))
   }

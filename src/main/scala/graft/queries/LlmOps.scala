@@ -62,6 +62,12 @@ object LlmOps {
         "vec_id", "embedding", k = 5, dim = EMBED_DIM)
     }),
 
+    "q_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.ivfTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5, dim = EMBED_DIM)
+    }),
+
     "q_text_langid" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"), col("lang"),

@@ -82,6 +82,51 @@ object Ann {
       .select(col("qid"), col("nid"), col("cos_sim"), col("rk"))
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is partitioned
+    * into `nCells` Voronoi cells around centroid vectors; each query
+    * probes only its `nProbe` nearest cells, so the scored candidate set
+    * is ~(nProbe/nCells) of the corpus instead of all of it.
+    *
+    * Centroids here are a deterministic exemplar (the lowest `nCells`
+    * candidate ids); production would k-means them — centroid quality
+    * affects recall only, the index/search machinery is identical. The
+    * centroid table is the ONE deliberate driver round-trip (nCells×dim
+    * doubles — a small dim table broadcast inside a native expression,
+    * [[graft.expressions.TopCentroids]]), which makes cell assignment a
+    * map-side projection: the corpus is never shuffled to be indexed.
+    * Candidate generation then follows the same shuffle hygiene as
+    * [[lshTopK]]: (qid, nid, cell) ids through every exchange, vectors
+    * re-attached by broadcast joins afterward.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+              idCol: String, vecCol: String, k: Int, dim: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import graft.expressions.TopCentroidsExpression.topCentroids
+    val q = queries.select(col(idCol).as("qid"),
+      VectorFunctions.asDouble(col(vecCol)).as("qv"))
+    val c = candidates.select(col(idCol).as("nid"),
+      VectorFunctions.asDouble(col(vecCol)).as("cv"))
+    val cents: Seq[Seq[Double]] = c.orderBy(col("nid")).limit(nCells)
+      .select(col("cv")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val cellsC = c.select(col("nid"),
+      element_at(topCentroids(col("cv"), cents, 1), 1).as("cell"))
+    val probes = q.select(col("qid"),
+      explode(topCentroids(col("qv"), cents, nProbe)).as("cell"))
+    val cand = probes.join(cellsC, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+      .distinct()
+    val scored = c.join(broadcast(cand), "nid")
+      .join(broadcast(q), "qid")
+      .withColumn("cos_sim", VectorFunctions.cosineRounded(col("qv"), col("cv"), 3))
+      .select(col("qid"), col("nid"), col("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("cos_sim"), col("rk"))
+  }
+
   /** Approximate top-k via SRP-LSH bucketing: same output shape as
     * [[bruteForceTopK]] but only candidates sharing a signature band are
     * scored. Recall is checked in the test suite against brute force.

@@ -29,6 +29,17 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall $recall too low") // 16×4-bit bands, sf0.001
   }
 
+  test("IVF top-k recall vs brute force is reasonable") {
+    val brute = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(queries, emb, "vec_id", "embedding", 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low") // 16 cells, 4 probes
+    // probing fewer cells than exist must actually prune candidates
+    assert(ivf.size <= brute.size * 2)
+  }
+
   test("LSH top-k shuffles never carry vector payloads") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType
