@@ -299,6 +299,41 @@ object Relational {
           pmod(col("l_orderkey"), lit(7)).as("k_mod7"))
     }),
 
+    // ---- scalar functions: array ops over tokenized text ----
+    "q_scalar_array" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n"),
+          element_at(col("toks"), 1).as("first_tok"),
+          element_at(col("toks"), -1).as("last_tok"),
+          array_join(slice(col("toks"), 1, 3), "_").as("head3"),
+          array_contains(col("toks"), "the").cast("int").as("has_the"),
+          size(array_distinct(col("toks"))).as("n_distinct"))
+    }),
+
+    // ---- scalar functions: regular expressions ----
+    "q_scalar_regex" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("consonants"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+        size(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0))).as("n_words"),
+        col("p_name").rlike("^[a-m]").cast("int").as("starts_early"))
+    }),
+
+    // ---- IN subquery (planned as a semi join) ----
+    "q_in_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_in")
+      Tables.customer(s, d).createOrReplaceTempView("customer_in")
+      s.sql("""SELECT o_orderpriority, COUNT(*) AS n FROM orders_in
+              |WHERE o_custkey IN (SELECT c_custkey FROM customer_in
+              |                    WHERE c_mktsegment = 'BUILDING')
+              |GROUP BY o_orderpriority""".stripMargin)
+    }),
+
     // ---- semi-structured: regexp extraction from JSON-ish props ----
     "q_json_extract" -> ((s, d) => {
       Tables.events(s, d)
@@ -585,6 +620,30 @@ object Relational {
         |  CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct,
         |  l_orderkey % 7 AS k_mod7
         |FROM lineitem""".stripMargin,
+
+    "q_scalar_array" ->
+      """SELECT doc_id,
+        |  LEN(STRING_SPLIT(text, ' ')) AS n,
+        |  STRING_SPLIT(text, ' ')[1] AS first_tok,
+        |  STRING_SPLIT(text, ' ')[-1] AS last_tok,
+        |  ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:3], '_') AS head3,
+        |  CAST(LIST_CONTAINS(STRING_SPLIT(text, ' '), 'the') AS INT) AS has_the,
+        |  LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+
+    "q_scalar_regex" ->
+      """SELECT p_partkey,
+        |  REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS consonants,
+        |  REGEXP_EXTRACT(p_type, '^(\w+)', 1) AS type_head,
+        |  LEN(REGEXP_EXTRACT_ALL(p_name, '[a-z]+')) AS n_words,
+        |  CAST(REGEXP_MATCHES(p_name, '^[a-m]') AS INT) AS starts_early
+        |FROM part""".stripMargin,
+
+    "q_in_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
