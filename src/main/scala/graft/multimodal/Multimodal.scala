@@ -8,6 +8,10 @@ import org.apache.spark.sql.functions._
   * (the container has no image/audio libs) while the Spark-side plumbing
   * — binary column, schema, partition-wise batching — is real.
   */
+/** One sampled frame of a binary payload. */
+case class FrameSample(doc_id: Long, frame_idx: Int, frame_len: Int,
+                       first_byte: Int)
+
 case class MediaFeatures(
     doc_id: Long,
     byte_len: Int,
@@ -45,6 +49,48 @@ object Multimodal {
     val firstByte = if (len > 0) bytes(0) & 0xFF else -1
     val nFrames = math.max(1, (len + 255) / 256) // 256-byte "frames"
     (width, height, channels, firstByte, nFrames)
+  }
+
+  /** STUB resize: deterministic byte-decimation of the payload (every
+    * `factor`-th byte) — stands in for image/audio resampling. Map-only:
+    * the payload is rewritten in place in its partition, never shuffled;
+    * a real resampler swaps in with the same bytes→bytes signature. */
+  def resizePayload(spark: SparkSession, docs: DataFrame,
+                    factor: Int): DataFrame = {
+    import spark.implicits._
+    withBinaryPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+          (id, out, bytes.length, out.length)
+        }
+      }
+      .toDF("doc_id", "payload", "orig_len", "resized_len")
+  }
+
+  /** Frame sampling: every `step`-th fixed-size frame of the payload,
+    * emitted as one row per sampled frame — the video-keyframe /
+    * audio-window access pattern. A map-only flatMap fused with the
+    * scan: the payload is sliced where it lives, only the (small)
+    * per-frame rows flow downstream. */
+  def sampleFrames(spark: SparkSession, docs: DataFrame,
+                   frameSize: Int = 256, step: Int = 4): Dataset[FrameSample] = {
+    import spark.implicits._
+    withBinaryPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = math.max(1, (bytes.length + frameSize - 1) / frameSize)
+        (0 until nFrames by step).map { f =>
+          val start = f * frameSize
+          val len = math.max(0, math.min(frameSize, bytes.length - start))
+          FrameSample(id, f, len, if (len > 0) bytes(start) & 0xFF else -1)
+        }
+      }
   }
 
   /** Partition-wise feature extraction over (doc_id, payload) rows. */

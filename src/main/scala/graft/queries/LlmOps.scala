@@ -98,6 +98,10 @@ object LlmOps {
     "q_multimodal" -> ((s, d) =>
       Multimodal.extractFeatures(s, Tables.documents(s, d)).toDF()),
 
+    "q_mm_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(s, Tables.documents(s, d),
+        frameSize = 256, step = 4).toDF()),
+
     // TF-IDF: two corpus-wide aggregates (term frequency per doc,
     // document frequency per term) + a broadcast join-back of the small
     // DF table — the fact-side token stream shuffles exactly once (the
@@ -195,6 +199,19 @@ object LlmOps {
       """SELECT doc_id, md5(lower(trim(text))) AS fp,
         |  SUBSTRING(md5(lower(trim(text))), 1, 8) AS fp8
         |FROM documents""".stripMargin,
+
+    "q_mm_frames" ->
+      """WITH d AS (SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS blen, text
+        |           FROM documents),
+        |f AS (SELECT doc_id, blen, text,
+        |        UNNEST(RANGE(0, GREATEST(1, (blen + 255) // 256), 4)) AS fi
+        |      FROM d)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(GREATEST(LEAST(256, blen - fi * 256), 0) AS INT) AS frame_len,
+        |  CAST(CASE WHEN blen - fi * 256 > 0
+        |    THEN ORD(SUBSTRING(text, fi * 256 + 1, 1)) ELSE -1 END AS INT)
+        |    AS first_byte
+        |FROM f""".stripMargin,
 
     "q_tfidf" ->
       """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
