@@ -104,6 +104,34 @@ class StreamingSpec extends SparkSuite {
       s"expected exactly-once ids 1,2,3 after restart; got $ids")
   }
 
+  test("file-source streaming (AvailableNow) matches the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstream").toString
+    val src = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    src.write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = EventsStreaming.tumblingCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("fstream_out")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain in time")
+
+    val got = spark.sql("SELECT ws, event_type, n FROM fstream_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val expected = src
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("session windows group events by 30-minute gaps") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[EventRow]
