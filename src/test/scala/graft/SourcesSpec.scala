@@ -22,6 +22,16 @@ class SourcesSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/nation_pq").count() == nation.count())
   }
 
+  test("zstd and lz4 parquet codecs round-trip") {
+    val dir = Files.createTempDirectory("graft_codec").toString
+    Seq("zstd", "lz4").foreach { codec =>
+      nation.write.option("compression", codec).parquet(s"$dir/$codec")
+      val back = spark.read.parquet(s"$dir/$codec")
+      assert(back.exceptAll(nation).isEmpty && nation.exceptAll(back).isEmpty,
+        s"$codec round-trip mismatch")
+    }
+  }
+
   test("json round-trip preserves values") {
     val dir = Files.createTempDirectory("graft_json").toString
     nation.write.json(s"$dir/nation_json")
