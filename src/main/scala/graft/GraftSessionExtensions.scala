@@ -24,6 +24,9 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     def inject(name: String, usage: String)(b: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), b))
 
+    // custom-operator strategy (group-wise top-k, graft.plans.GroupTopK)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
+
     inject("graft_cosine", "cosine similarity of two numeric arrays") {
       e => graft.expressions.CosineSimilarity(e(0), e(1))
     }

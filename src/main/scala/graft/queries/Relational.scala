@@ -132,6 +132,16 @@ object Relational {
         .agg(count(lit(1)).as("n_lines"))
     }),
 
+    // ---- group-wise top-k via the custom operator (bounded heaps,
+    //      partial pass before the exchange — no per-group full sort) ----
+    "q_topk_group" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      graft.plans.GroupTopK.topKPerGroup(o,
+          Seq(o("o_custkey")),
+          Seq(o("o_totalprice").desc, o("o_orderkey").asc), k = 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // ---- salted join (single-hot-key skew; output == plain join) ----
     "q_join_salted" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -507,6 +517,13 @@ object Relational {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |  AND l_quantity >= p_size - 5 AND l_quantity <= p_size + 5
         |GROUP BY p_brand""".stripMargin,
+
+    "q_topk_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) AS t WHERE rk <= 3""".stripMargin,
 
     "q_join_salted" ->
       """SELECT p_brand, COUNT(*) AS n_lines,

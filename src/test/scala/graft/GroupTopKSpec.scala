@@ -1,0 +1,45 @@
+package graft
+
+import graft.plans.GroupTopK
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class GroupTopKSpec extends SparkSuite {
+
+  private lazy val orders = Tables.orders(spark, sfDir)
+
+  test("custom top-k operator == row_number window formulation") {
+    val custom = GroupTopK.topKPerGroup(orders,
+        Seq(orders("o_custkey")),
+        Seq(orders("o_totalprice").desc, orders("o_orderkey").asc), k = 3)
+      .select("o_custkey", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val window = orders.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).select("o_custkey", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(custom == window)
+    assert(custom.nonEmpty)
+  }
+
+  test("plans as partial+final GroupTopKExec around one exchange, no sort") {
+    val df = GroupTopK.topKPerGroup(orders,
+      Seq(orders("o_custkey")),
+      Seq(orders("o_totalprice").desc, orders("o_orderkey").asc), k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix: the node prints as "GroupTopK"
+    assert("GroupTopK \\[".r.findAllIn(plan).length == 2,
+      s"expected partial+final exec pair:\n$plan")
+    assert(plan.contains("Exchange"), "expected a hash exchange on the group key")
+    assert(!plan.contains("Sort "), s"top-k must not sort:\n$plan")
+  }
+
+  test("k larger than any group returns all rows") {
+    val n = orders.count()
+    val all = GroupTopK.topKPerGroup(orders,
+      Seq(orders("o_custkey")),
+      Seq(orders("o_orderkey").asc), k = Int.MaxValue).count()
+    assert(all == n)
+  }
+}
