@@ -66,14 +66,26 @@ object Bench {
       }
       if (times.nonEmpty && !errors.contains(name)) timings(name) = times.min
     }
-    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver captures only the TAIL of stdout (observed cap: 2000 chars),
+    // so the metric line must stay well under that or its head is truncated
+    // and the JSON never parses (this bit rounds 1 and 2). Keep the line
+    // minimal: 3-decimal timings, error CLASS names only. Row counts and full
+    // error text go to stderr, which the driver does not parse.
+    def f3(v: Double): String = f"$v%.3f"
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    val es = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + jesc(v.takeWhile(_ != ':').take(40)) + "\""
+    }.mkString("{", ",", "}")
     val rs = rowCounts.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => "\"" + k + "\":\"" + jesc(v) + "\"" }
-      .mkString("{", ",", "}")
+    System.err.println(s"""[bench] rows=$rs""")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"errors":$es,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    if (line.length > 1800) System.err.println(
+      s"[bench] WARN metric line ${line.length} chars — may exceed driver tail capture")
+    println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
