@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global prefix scan (running aggregate with NO partition key).
+  *
+  * Spark's built-in `Window.orderBy(...)` with no `partitionBy` plans an
+  * `Exchange SinglePartition`: the entire dataset funnels through ONE task —
+  * the same "all runs into one consumer" shape the reference's network-
+  * levitated merge exists to make fast on one node
+  * (reference src/Merger/MergeManager.cc:184-193), and exactly what does NOT
+  * survive a 1000-executor cluster.
+  *
+  * This operator is the classic two-phase scan, kept fully declarative so
+  * whole-stage codegen applies end to end:
+  *
+  *   1. bucket each row map-side with a MONOTONE function of the leading
+  *      order key (caller-supplied, e.g. `l_orderkey div 2000`) — bucket
+  *      count grows with the data, so no task sees more than one bucket's
+  *      rows;
+  *   2. local running aggregate per bucket — one hash exchange on the
+  *      bucket key (scalable), ordinary partitioned window;
+  *   3. per-bucket totals — map-side partial aggregation, so the second
+  *      pass shuffles only ~one row per bucket;
+  *   4. exclusive prefix of the totals — a single-partition window over
+  *      #buckets rows (KB, not TB: this is the only SinglePartition in the
+  *      plan and it is bounded by bucket count, not data size);
+  *   5. broadcast-join the offsets back and add.
+  *
+  * Ties: rows equal on ALL order columns contribute identical values, so the
+  * output multiset is deterministic regardless of intra-tie order (the same
+  * argument that makes `q_window_running` oracle-checkable). The caller must
+  * pass an order that is deterministic up to value-identical ties, and a
+  * bucket expression that is a function of the LEADING order column only, so
+  * bucket boundaries never split a tie group across buckets incorrectly.
+  *
+  * Skew: one hot leading-key value lands in one bucket — identical caveat to
+  * any partitioned window; pick a bucket width that keeps buckets balanced.
+  */
+object Prefix {
+
+  /** Running `sum(value)` over `order`, globally, distributed via `bucket`.
+    *
+    * @param bucket monotone non-decreasing function of the leading order
+    *               column (e.g. `col("k") div 2000`)
+    * @param order  total order for the scan (deterministic up to ties that
+    *               agree on `value`)
+    * @param value  summand; pass a decimal-cast column for exact,
+    *               order-independent accumulation
+    * @param out    name of the produced running-sum column
+    */
+  def runningSum(df: DataFrame, bucket: Column, order: Seq[Column],
+                 value: Column, out: String): DataFrame = {
+    val b = df.withColumn("_gbucket", bucket)
+
+    // (2) local running sum within each bucket — scalable exchange.
+    val wLocal = Window.partitionBy(col("_gbucket")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = b.withColumn("_lrun", sum(value).over(wLocal))
+
+    // (3) per-bucket totals: partial-aggregated map-side, so this branch
+    // re-scans the (column-pruned) source but shuffles ~one row per bucket.
+    // (Reusing the window's exchange instead would recompute the window for
+    // the totals branch; a pruned re-scan is the cheaper side of that trade.)
+    val totals = b.groupBy(col("_gbucket")).agg(sum(value).as("_btot"))
+
+    // (4) exclusive prefix over #buckets rows — the only SinglePartition.
+    val wOff = Window.orderBy(col("_gbucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("_boff", sum(col("_btot")).over(wOff))
+      .select(col("_gbucket"), col("_boff"))
+
+    // (5) broadcast offsets back; first bucket has no predecessor -> 0.
+    local
+      .join(broadcast(offsets), Seq("_gbucket"))
+      .withColumn(out, col("_lrun") + coalesce(col("_boff"), lit(0)))
+      .drop("_gbucket", "_lrun", "_boff")
+  }
+}

@@ -250,6 +250,22 @@ object Relational {
         .select(col("l_orderkey"), col("l_linenumber"), col("running_qty"))
     }),
 
+    // ---- GLOBAL running sum (no partition key): distributed prefix scan ----
+    // The built-in formulation (Window.orderBy with no partitionBy) plans an
+    // Exchange SinglePartition over the whole fact table — a one-task
+    // bottleneck at scale. Prefix.runningSum is the two-phase scan: bucketed
+    // local running sums + broadcast exclusive bucket offsets.
+    "q_running_global" -> ((s, d) => {
+      graft.operators.Prefix.runningSum(
+          Tables.lineitem(s, d),
+          bucket = (col("l_orderkey") / lit(2000)).cast("long"),
+          order = Seq(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+          value = dec(col("l_quantity")),
+          out = "running_qty")
+        .withColumn("running_qty", col("running_qty").cast("double"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+    }),
+
     // ---- window: lag/lead ----
     "q_window_lag" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -587,6 +603,14 @@ object Relational {
       """SELECT l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
         |    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_qty
+        |FROM lineitem""".stripMargin,
+
+    "q_running_global" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    OVER (ORDER BY l_orderkey, l_linenumber, l_quantity
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS running_qty
         |FROM lineitem""".stripMargin,
