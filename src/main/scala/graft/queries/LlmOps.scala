@@ -39,6 +39,16 @@ object LlmOps {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3)),
 
+    // Pairs → connected components → canonical representative: the
+    // keep/drop list a dedup pipeline actually consumes. Pair recall is
+    // the LSH+exact-verification argument above; clustering on top is
+    // deterministic, so the recursive-CTE closure oracle applies.
+    "q_dup_clusters" -> ((s, d) =>
+      graft.dedup.Clusters.dupClusters(
+        Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.9),
+        "doc_a", "doc_b")),
+
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         shingleSize = 3, threshold = 0.8)),
@@ -134,6 +144,31 @@ object LlmOps {
 
     "q_dedup_minhash" -> jaccardOracle(0.9),
     "q_ngram_jaccard" -> jaccardOracle(0.8),
+
+    // Transitive closure over the exact all-pairs Jaccard edges: comp =
+    // min reachable doc id (DuckDB recursive CTE with set-union
+    // semantics terminates at the fixpoint).
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+         |sh AS (SELECT doc_id,
+         |         LIST_DISTINCT([ARRAY_TO_STRING(ts[i:i+2], ' ') FOR i IN RANGE(1, LEN(ts)-1)]) AS s
+         |       FROM d WHERE LEN(ts) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND LEN(LIST_INTERSECT(a.s, b.s))
+         |      / (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) >= 0.9),
+         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT u AS id, u AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.v AS r FROM reach JOIN edges e ON e.u = reach.r),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT id AS doc_id, cluster_id,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM comp""".stripMargin,
 
     "q_dedup_embed" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1,0 +1,53 @@
+package graft
+
+import graft.dedup.{Clusters, Dedup}
+
+/** Connected-components clustering over near-dup pairs. */
+class ClustersSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("multi-hop chain collapses to one component") {
+    // path graph 1-2-3-...-10 plus an isolated pair: needs label
+    // propagation across 9 hops, not just clique shortcuts
+    val edges = ((1L to 9L).map(i => (i, i + 1)) :+ (100L, 101L)).toDF("a", "b")
+    val cc = Clusters.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 10L).foreach(i => assert(cc(i) == 1L, s"node $i got ${cc(i)}"))
+    assert(cc(100L) == 100L && cc(101L) == 100L)
+  }
+
+  test("components match driver-side union-find on fixture minhash pairs") {
+    val pairs = Dedup.minhashPairs(Tables.documents(spark, sfDir),
+      "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16,
+      threshold = 0.9)
+    val edges = pairs.select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(edges.nonEmpty, "fixture produced no near-dup pairs")
+    val want = unionFind(edges)
+    val got = Clusters.connectedComponents(
+      pairs.toDF(), "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("dupClusters sizes are consistent") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val rows = Clusters.dupClusters(edges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+}
