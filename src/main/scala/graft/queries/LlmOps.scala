@@ -78,6 +78,15 @@ object LlmOps {
         "vec_id", "embedding", k = 5, dim = EMBED_DIM)
     }),
 
+    // Stratified deterministic sampling: downweight the dominant
+    // language, keep the tail — the canonical corpus-rebalancing step.
+    // Pure map-side md5 predicate, replayable by any engine.
+    "q_sample_stratified" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedHashSample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        col("doc_id"), col("lang"),
+        cuts = Map("en" -> "20"), defaultCut = "80", salt = "s1")),
+
     "q_text_langid" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"), col("lang"),
@@ -189,6 +198,11 @@ object LlmOps {
         |    ROW_NUMBER() OVER (PARTITION BY qid
         |                       ORDER BY cos_sim DESC, nid) AS rk
         |  FROM s) t WHERE rk <= 5""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE SUBSTRING(md5(CONCAT(CAST(doc_id AS VARCHAR), 's1')), 1, 2)
+        |  < CASE WHEN lang = 'en' THEN '20' ELSE '80' END""".stripMargin,
 
     "q_text_langid" ->
       """SELECT doc_id, lang,

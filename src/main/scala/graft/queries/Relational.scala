@@ -274,6 +274,37 @@ object Relational {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("prev_price"))
     }),
 
+    // ---- window: distribution functions ----
+    "q_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderpriority"), col("o_orderkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).as("quartile"))
+    }),
+
+    // ---- deterministic hash sampling (map-side, engine-portable) ----
+    "q_sample_hash" -> ((s, d) =>
+      graft.operators.Sampling.hashSample(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")),
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+        cutHex = "1a", salt = "s0")),
+
+    // ---- batch MERGE/upsert (full-outer form) ----
+    "q_upsert" -> ((s, d) => {
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val updates = t.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", lit(0.0))
+      val inserts = t.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          col("c_name"), col("c_acctbal"))
+      graft.operators.Upsert.merge(t, updates.union(inserts), Seq("c_custkey"))
+    }),
+
     // ---- set ops ----
     "q_set_union" -> ((s, d) => {
       val c = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nk"))
@@ -620,6 +651,34 @@ object Relational {
         |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
         |                             ORDER BY o_orderdate, o_orderkey) AS prev_price
         |FROM orders""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice, o_orderkey) AS pr,
+        |  CUME_DIST() OVER (PARTITION BY o_orderpriority
+        |                    ORDER BY o_totalprice, o_orderkey) AS cd,
+        |  CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+        |                      ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+        |FROM orders""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE SUBSTRING(md5(CONCAT(CONCAT_WS('-', l_orderkey, l_linenumber),
+        |                           's0')), 1, 2) < '1a'""".stripMargin,
+
+    "q_upsert" ->
+      """WITH t AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |src AS (
+        |  SELECT c_custkey, c_name, CAST(0 AS DOUBLE) AS c_acctbal
+        |  FROM t WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_acctbal
+        |  FROM t WHERE c_custkey % 13 = 0)
+        |SELECT * FROM src
+        |UNION ALL
+        |SELECT * FROM t
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM src)""".stripMargin,
 
     "q_set_union" ->
       """SELECT DISTINCT nk FROM (
