@@ -35,6 +35,30 @@ object Storage {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
     }),
 
+    // dynamic partition pruning: the fact is partitioned on the join
+    // key; the dim filter is only known at RUNTIME (it reaches the fact
+    // scan as a dynamicpruning subquery reusing the broadcast), so only
+    // the matching partition directories are ever read — the runtime
+    // analog of q_part_prune's static pruning, and the reference's
+    // fetch-only-your-slice index contract under a join.
+    "q_dpp" -> ((s, d) => {
+      import s.implicits._
+      val path = s"${scratch(d)}/orders_by_prio"
+      Layout.writePartitioned(Tables.orders(s, d), path, "o_orderpriority")
+      // the dim must be a FILE source: a filter over an in-memory
+      // LocalRelation constant-folds away before the PartitionPruning
+      // rule looks for a selective predicate, and no DPP is inserted
+      val dimPath = s"${scratch(d)}/prio_dim"
+      Seq(("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "warm"),
+        ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold")).toDF("prio", "tier")
+        .write.mode("overwrite").parquet(dimPath)
+      s.read.parquet(path)
+        .join(s.read.parquet(dimPath).filter(col("tier") === "hot"),
+          col("o_orderpriority") === col("prio"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
     // bucketed write on the join key → sort-merge join with NO exchange
     // on either side (both tables pre-bucketed into the same 8 buckets)
     "q_bucket_join" -> ((s, d) => {
@@ -57,6 +81,12 @@ object Storage {
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_dpp" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority""".stripMargin,
 
     "q_bucket_join" ->

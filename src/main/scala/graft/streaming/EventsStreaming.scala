@@ -78,6 +78,24 @@ object EventsStreaming {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream inner join: attribute each purchase to
+    * the views by the same user in the preceding hour. BOTH sides carry
+    * a watermark and the join condition bounds event time on both sides,
+    * so each side's buffered state is evictable once the watermark
+    * passes the bound — without the time bound a stream-stream join
+    * must buffer both streams forever. */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val p = purchases.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    v.join(p, col("v_user") === col("p_user") &&
+      col("p_ts") >= col("v_ts") &&
+      col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
   /** Checkpointed parquet sink: the recovery story. The checkpoint dir
     * holds source offsets + operator state (WAL) and the sink's
     * `_spark_metadata` commit log makes file output exactly-once — a

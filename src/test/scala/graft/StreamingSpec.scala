@@ -145,4 +145,26 @@ class StreamingSpec extends SparkSuite {
     val rows = spark.sql("SELECT n FROM sess_out WHERE user_id = 1").collect()
     assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(2L, 2L))
   }
+
+  test("stream-stream join attributes purchases to prior views in the hour") {
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[EventRow]
+    val purchases = MemoryStream[EventRow]
+    val q = EventsStreaming.viewPurchaseJoin(views.toDF(), purchases.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out").start()
+    // user 1: view at 10:05, purchase at 10:20 → joins;
+    // purchase at 11:30 is outside the 1-hour bound → no join;
+    // user 2: purchase with no view → no join
+    views.addData(ev(1, 5, user = 1))
+    purchases.addData(ev(100, 20, user = 1, typ = "purchase", v = 9.0))
+    purchases.addData(EventRow(101,
+      java.sql.Timestamp.valueOf("2024-01-01 11:30:00"), 1L, "purchase", 5.0))
+    purchases.addData(ev(102, 25, user = 2, typ = "purchase", v = 7.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql(
+      "SELECT view_id, purchase_id, value FROM ss_join_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 100L, 9.0)))
+  }
 }
