@@ -59,7 +59,21 @@ object Accuracy {
     val diff = blocked.exceptAll(allPairs).count() +
       allPairs.exceptAll(blocked).count()
 
+    // q_approx_topk: with column cardinality below maxItemsTracked the
+    // sketch is exact, but count TIES at the top-k boundary make item
+    // membership ambiguous in any engine — so compare the (sorted)
+    // count multiset of the approx top-20 against the exact one.
+    val approxCounts = SparkEntry.queries("q_approx_topk")(spark, d)
+      .select(col("n")).collect().map(_.getLong(0)).sorted.toSeq
+    val exactCounts = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc).limit(20)
+      .select(col("n")).collect().map(_.getLong(0)).sorted.toSeq
+    val topkDiff = if (approxCounts == exactCounts) 0.0 else 1.0
+
     Seq(
+      Check("q_approx_topk", "count_multiset_diff_vs_exact", topkDiff, 0.0,
+        topkDiff == 0.0),
       Check("q_ann_lsh", "topk_recall_vs_brute_force", recall, 0.5, recall >= 0.5),
       Check("q_ann_ivf", "topk_recall_vs_brute_force", ivfRecall, 0.5,
         ivfRecall >= 0.5),

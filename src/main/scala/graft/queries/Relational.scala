@@ -305,6 +305,46 @@ object Relational {
       graft.operators.Upsert.merge(t, updates.union(inserts), Seq("c_custkey"))
     }),
 
+    // ---- recursive CTE: gap-filled monthly series ----
+    // Generate-and-left-join is the standard gap-filling reporting
+    // pattern; the recursive seed is 12 rows on the driver side of a
+    // broadcast join, the order aggregate is an ordinary partial+final
+    // groupBy — recursion depth is bounded by the calendar, not the data.
+    "q_cte_recursive" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """WITH RECURSIVE months(m) AS (
+          |  SELECT DATE'1995-01-01'
+          |  UNION ALL SELECT add_months(m, 1) FROM months
+          |  WHERE m < DATE'1995-12-01'
+          |)
+          |SELECT date_format(m, 'yyyy-MM') AS month,
+          |       COALESCE(t.n, 0) AS n_orders,
+          |       COALESCE(t.sum_price, 0.0) AS sum_price
+          |FROM months LEFT JOIN (
+          |  SELECT date_format(o_orderdate, 'yyyy-MM') AS month2,
+          |         COUNT(*) AS n,
+          |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |           AS sum_price
+          |  FROM orders_v WHERE year(o_orderdate) = 1995
+          |  GROUP BY 1) t
+          |ON date_format(m, 'yyyy-MM') = t.month2""".stripMargin)
+    }),
+
+    // ---- approximate heavy hitters (sketch top-k) ----
+    // approx_top_k tracks maxItemsTracked items per partition and merges
+    // sketches — one pass, fixed memory, no full groupBy at scale. With
+    // cardinality below maxItemsTracked the sketch is exact (asserted in
+    // the accuracy artifact); counts at true 100 TB cardinality are
+    // approximate, which is the operator's contract.
+    "q_approx_topk" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT item AS l_partkey, count AS n
+          |FROM (SELECT inline(approx_top_k(l_partkey, 20, 100000))
+          |      FROM lineitem_v)""".stripMargin)
+    }),
+
     // ---- set ops ----
     "q_set_union" -> ((s, d) => {
       val c = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nk"))
@@ -679,6 +719,26 @@ object Relational {
         |UNION ALL
         |SELECT * FROM t
         |WHERE c_custkey NOT IN (SELECT c_custkey FROM src)""".stripMargin,
+
+    "q_cte_recursive" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        |  WHERE m < DATE '1995-12-01'
+        |)
+        |SELECT STRFTIME(m, '%Y-%m') AS month,
+        |  COALESCE(t.n, 0) AS n_orders,
+        |  COALESCE(t.sum_price, 0.0) AS sum_price
+        |FROM months LEFT JOIN (
+        |  SELECT STRFTIME(o_orderdate, '%Y-%m') AS month2, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM orders WHERE CAST(EXTRACT(year FROM o_orderdate) AS INT) = 1995
+        |  GROUP BY 1) t ON STRFTIME(m, '%Y-%m') = t.month2""".stripMargin,
+
+    // q_approx_topk: no SQL oracle — heavy count ties at the top-20
+    // boundary make MEMBERSHIP ambiguous (any engine may pick a
+    // different tied item), so equality is asserted tie-insensitively
+    // on the count multiset in the accuracy artifact instead.
 
     "q_set_union" ->
       """SELECT DISTINCT nk FROM (

@@ -35,6 +35,20 @@ object Storage {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
     }),
 
+    // z-ordered write → multi-dim min/max file skipping: the read is
+    // filtered on the SECOND clustering column, which a single-column
+    // sort layout cannot prune (see ZOrderSpec for the file-count
+    // comparison); correctness vs the flat-table oracle
+    "q_zorder" -> ((s, d) => {
+      val path = s"${scratch(d)}/lineitem_z"
+      Layout.writeZOrdered(Tables.lineitem(s, d), path, 16,
+        col("l_orderkey"), col("l_partkey"))
+      s.read.parquet(path)
+        .filter(col("l_partkey") < 50)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
     // dynamic partition pruning: the fact is partitioned on the join
     // key; the dim filter is only known at RUNTIME (it reaches the fact
     // scan as a dynamicpruning subquery reusing the broadcast), so only
@@ -82,6 +96,12 @@ object Storage {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_zorder" ->
+      """SELECT l_partkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_partkey < 50
+        |GROUP BY l_partkey""".stripMargin,
 
     "q_dpp" ->
       """SELECT o_orderpriority, COUNT(*) AS n,

@@ -27,6 +27,23 @@ object Layout {
                        partitionCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Z-ordered parquet write: range-partition + sort on the Morton code
+    * of two clustering columns, so each output file covers a compact
+    * rectangle in (x, y) space and parquet min/max stats prune scans
+    * filtered on EITHER column (see [[graft.expressions.ZOrder]]).
+    * `files` bounds output file count (the range partitioner's bucket
+    * count); at cluster scale pick it from target file size. */
+  def writeZOrdered(df: DataFrame, path: String, files: Int,
+                    x: org.apache.spark.sql.Column,
+                    y: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("_z", graft.expressions.ZOrderExpression.interleaveBits(x, y))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Bucketed (+ optionally sorted) parquet table at an explicit path.
     * Bucket metadata lives in the session catalog, so read back with
     * `spark.table(tableName)` — a raw path read would not know the
