@@ -33,10 +33,14 @@ object Clusters {
     * Returns (id, comp) with `comp` = min node id in the component. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
+    // Materialize the edge list ONCE: `edges` is typically the tail of a
+    // whole near-dup pipeline (shingle → signature → band join), and an
+    // un-checkpointed `sym` would re-run that pipeline on every round.
     val sym = edges
       .select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct()
+      .localCheckpoint(true)
 
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id"))
@@ -49,16 +53,16 @@ object Clusters {
         .join(labels.select(col("id").as("v"), col("comp").as("vc")), "v")
         .groupBy(col("u"))
         .agg(min(col("vc")).as("nc"))
+      // Keep the previous label alongside the new one so convergence is a
+      // filter over the just-materialized checkpoint — not a separate
+      // join-against-old-labels job per round.
       val next = labels
         .join(nbrMin.select(col("u").as("id"), col("nc")), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") < col("prev"))
-        .count()
-      labels = next
+      changed = next.filter(col("comp") < col("prev")).count()
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     labels
