@@ -71,7 +71,7 @@ object Bench {
     // and the JSON never parses (this bit rounds 1 and 2). Keep the line
     // minimal: 3-decimal timings, error CLASS names only. Row counts and full
     // error text go to stderr, which the driver does not parse.
-    def f3(v: Double): String = f"$v%.3f"
+    def f3(v: Double): String = f"$v%.2f"
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) =>

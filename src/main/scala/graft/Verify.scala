@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // optional trailing query names: dump/check only those (dev loop);
+    // the driver passes none and gets the full surface
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +19,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val sel = if (only.isEmpty) SparkEntry.queries
+              else SparkEntry.queries.view.filterKeys(only).toMap
+    sel.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -35,11 +41,12 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // accuracy artifact for the hash-seeded no-oracle queries: recall /
     // error / exact-equality vs in-Spark ground truth, machine-readable
-    try {
+    if (only.isEmpty) try {
       val acc = graft.Accuracy.checks(spark, sfDir)
       Files.writeString(Paths.get(s"$outDir/accuracy.json"),
         graft.Accuracy.toJson(acc))

@@ -23,6 +23,8 @@ import graft.multimodal.Multimodal
 object LlmOps {
 
   private val EMBED_DIM = 64
+  private val CHUNK_SIZE = 32
+  private val CHUNK_STRIDE = 24
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) =>
@@ -120,6 +122,69 @@ object LlmOps {
     "q_mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(s, Tables.documents(s, d),
         frameSize = 256, step = 4).toDF()),
+
+    // Overlapping token-window chunking — the standard pre-training /
+    // RAG document-splitting step (32-token windows, stride 24 → 8-token
+    // overlap). Pure map-side: split → posexplode over computed starts →
+    // slice; no shuffle, scales linearly with corpus bytes.
+    "q_text_chunks" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("toks"))
+        .withColumn("n_tok", size(col("toks")))
+        .filter(col("n_tok") > 0)
+      toks
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0), col("n_tok") - 1, lit(CHUNK_STRIDE))))
+        .select(col("doc_id"), col("pos").as("chunk_idx"),
+          array_join(slice(col("toks"), col("col") + 1, lit(CHUNK_SIZE)), " ")
+            .as("chunk_text"),
+          size(slice(col("toks"), col("col") + 1, lit(CHUNK_SIZE)))
+            .as("n_chunk_toks"))
+    }),
+
+    // PII-shaped cleaning: global regex redaction of numerics in the
+    // payload plus salted-hash pseudonymization of the user key — both
+    // pure map-side, replayable by any engine (no RNG).
+    "q_redact" -> ((s, d) =>
+      Tables.events(s, d).filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("props_red"),
+          md5(concat(col("user_id").cast("string"), lit("pepper")))
+            .as("user_pseudo"))),
+
+    // Incremental corpus dedup: admit only the new-batch docs whose
+    // fingerprint is NOT already in the standing corpus — the
+    // every-ingest-cycle op of a training-data pipeline. One hash
+    // exchange on the 16-byte fingerprint (never the text); within-batch
+    // duplicates are q_dedup_exact's job, this is batch-vs-corpus.
+    "q_dedup_incremental" -> ((s, d) => {
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
+      val corpus = fp.filter(col("doc_id") % 5 =!= 0)
+      val batch = fp.filter(col("doc_id") % 5 === 0)
+      batch.join(corpus.select(col("fp")), Seq("fp"), "left_anti")
+        .select(col("doc_id"), col("fp"))
+    }),
+
+    // Per-vector int8 scalar quantization (min/max affine): the 4×
+    // storage/IO lever for 100 TB embedding corpora. Map-side only;
+    // emits the full code array plus the mean reconstruction error so
+    // the quality loss is part of the checked contract.
+    "q_embed_quantize" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("mn", array_min(col("v")))
+        .withColumn("mx", array_max(col("v")))
+      e.select(col("vec_id"),
+        array_join(transform(col("v"), x =>
+          round((x - col("mn")) * lit(255.0) / (col("mx") - col("mn")))
+            .cast("int")), ",").as("codes"),
+        round(aggregate(col("v"), lit(0.0d), (acc, x) =>
+          acc + abs(x - (round((x - col("mn")) * lit(255.0) / (col("mx") - col("mn")))
+            * (col("mx") - col("mn")) / lit(255.0) + col("mn")))) / lit(EMBED_DIM.toDouble), 4)
+          .as("recon_err"))
+    }),
 
     // TF-IDF: two corpus-wide aggregates (term frequency per doc,
     // document frequency per term) + a broadcast join-back of the small
@@ -261,6 +326,43 @@ object LlmOps {
         |    THEN ORD(SUBSTRING(text, fi * 256 + 1, 1)) ELSE -1 END AS INT)
         |    AS first_byte
         |FROM f""".stripMargin,
+
+    "q_text_chunks" ->
+      """WITH d AS (SELECT doc_id,
+        |             LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS ts
+        |           FROM documents),
+        |c AS (SELECT doc_id, ts, UNNEST(RANGE(0, LEN(ts), 24)) AS st
+        |      FROM d WHERE LEN(ts) > 0)
+        |SELECT doc_id, CAST(st // 24 AS INT) AS chunk_idx,
+        |  ARRAY_TO_STRING(ts[st+1 : st+32], ' ') AS chunk_text,
+        |  CAST(LEN(ts[st+1 : st+32]) AS INT) AS n_chunk_toks
+        |FROM c""".stripMargin,
+
+    "q_redact" ->
+      """SELECT event_id,
+        |  REGEXP_REPLACE(props, '[0-9]+', '<NUM>', 'g') AS props_red,
+        |  md5(CONCAT(CAST(user_id AS VARCHAR), 'pepper')) AS user_pseudo
+        |FROM events WHERE event_id < 2000""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp
+        |FROM documents b
+        |WHERE doc_id % 5 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.doc_id % 5 <> 0
+        |    AND md5(lower(trim(c.text))) = md5(lower(trim(b.text))))""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, v, LIST_MIN(v) AS mn, LIST_MAX(v) AS mx FROM e)
+        |SELECT vec_id,
+        |  ARRAY_TO_STRING(LIST_TRANSFORM(v, x ->
+        |    CAST(ROUND((x - mn) * 255.0 / (mx - mn)) AS INT)), ',') AS codes,
+        |  ROUND(LIST_SUM(LIST_TRANSFORM(v, x ->
+        |    ABS(x - (ROUND((x - mn) * 255.0 / (mx - mn))
+        |             * (mx - mn) / 255.0 + mn)))) / 64.0, 4) AS recon_err
+        |FROM m""".stripMargin,
 
     "q_tfidf" ->
       """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok

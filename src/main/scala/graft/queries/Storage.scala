@@ -73,6 +73,22 @@ object Storage {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
     }),
 
+    // small-file compaction: a fragmented write (64 tiny files — the
+    // shape streaming micro-batch sinks produce) is rewritten to
+    // ~4 MiB target files with coalesce (file merge, NO shuffle); the
+    // read + aggregate over the compacted copy must match the flat
+    // oracle, proving compaction is content-preserving
+    "q_compact" -> ((s, d) => {
+      val fragPath = s"${scratch(d)}/lineitem_frag"
+      val compactPath = s"${scratch(d)}/lineitem_compact"
+      Tables.lineitem(s, d).repartition(64)
+        .write.mode("overwrite").parquet(fragPath)
+      Layout.compact(s, fragPath, compactPath, targetFileBytes = 4L << 20)
+      s.read.parquet(compactPath)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
     // bucketed write on the join key → sort-merge join with NO exchange
     // on either side (both tables pre-bucketed into the same 8 buckets)
     "q_bucket_join" -> ((s, d) => {
@@ -108,6 +124,12 @@ object Storage {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_compact" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q_bucket_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,

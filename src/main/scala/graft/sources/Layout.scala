@@ -27,6 +27,29 @@ object Layout {
                        partitionCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Small-file compaction: rewrite `inPath` as ~`targetFileBytes`-sized
+    * files. Long-running ingest (streaming micro-batches, per-task MOF
+    * output — the reference keeps one file per map task,
+    * src/MOFServer/IndexInfo.h:98-121) accretes thousands of tiny files
+    * whose per-file open/footer cost dominates scans at 100 TB; periodic
+    * compaction is the standard fix. Uses `coalesce`, NOT `repartition`:
+    * merging files needs no row redistribution, so no shuffle — each
+    * output task just concatenates a set of input files. Returns the
+    * output file count. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long): Int = {
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath)
+      .coalesce(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** Z-ordered parquet write: range-partition + sort on the Morton code
     * of two clustering columns, so each output file covers a compact
     * rectangle in (x, y) space and parquet min/max stats prune scans
