@@ -167,6 +167,35 @@ object LlmOps {
         .select(col("doc_id"), col("fp"))
     }),
 
+    // Corpus-statistic filtering: keep docs at or above the corpus
+    // median quality — one tiny aggregate broadcast back over the
+    // corpus, the standard "filter by global statistic" shape (never a
+    // sort, never a driver collect).
+    "q_quality_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+      val med = docs.agg(median(col("quality")).as("med"))
+      docs.crossJoin(broadcast(med))
+        .filter(col("quality") >= col("med"))
+        .select(col("doc_id"), col("quality"))
+    }),
+
+    // Deterministic per-group downsampling (≤20 docs per language) via
+    // the custom GroupTopK operator ordered by a salted hash: the
+    // partial pass caps every map task at k rows per group BEFORE the
+    // exchange, so the shuffle moves ≤ k·maps rows per language instead
+    // of the whole corpus — the rebalancing step that tames a
+    // 95%-English crawl.
+    "q_sample_group" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          md5(concat(col("doc_id").cast("string"), lit("gs"))).as("h"))
+      graft.plans.GroupTopK.topKPerGroup(docs,
+          Seq(col("lang")), Seq(col("h").asc), k = 20)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Per-vector int8 scalar quantization (min/max affine): the 4×
     // storage/IO lever for 100 TB embedding corpora. Map-side only;
     // emits the full code array plus the mean reconstruction error so
@@ -351,6 +380,30 @@ object LlmOps {
         |  SELECT 1 FROM documents c
         |  WHERE c.doc_id % 5 <> 0
         |    AND md5(lower(trim(c.text))) = md5(lower(trim(b.text))))""".stripMargin,
+
+    "q_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    ROUND(0.3 * (CASE WHEN LEN(toks) > 0
+        |        THEN LEN(LIST_DISTINCT(toks)) / LEN(toks) ELSE 0.0 END)
+        |      + 0.3 * LEAST(1.0, n_chars / 500.0)
+        |      + 0.4 * LEAST(1.0, (CASE WHEN LEN(toks) > 0
+        |          THEN CAST(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))) AS DOUBLE) / LEN(toks)
+        |          ELSE 0.0 END) / 8.0), 3) AS quality
+        |  FROM t)
+        |SELECT doc_id, quality FROM q
+        |WHERE quality >= (SELECT MEDIAN(quality) FROM q)""".stripMargin,
+
+    "q_sample_group" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CONCAT(CAST(doc_id AS VARCHAR), 'gs'))) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 20""".stripMargin,
 
     "q_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -73,6 +73,25 @@ object Storage {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
     }),
 
+    // schema evolution: two parquet batches written at different times
+    // with different schemas (the later one adds a column) are read as
+    // ONE table with mergeSchema — the old batch surfaces NULL for the
+    // new column. Long-lived 100 TB datasets accrete columns; a reader
+    // that can't span schema versions forces full rewrites.
+    "q_schema_evolve" -> ((s, d) => {
+      val base = s"${scratch(d)}/orders_evolve"
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$base/b1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$base/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/b1", s"$base/b2")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
     // small-file compaction: a fragmented write (64 tiny files — the
     // shape streaming micro-batch sinks produce) is rewritten to
     // ~4 MiB target files with coalesce (file merge, NO shuffle); the
@@ -124,6 +143,14 @@ object Storage {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_schema_evolve" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM (SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END
+        |        AS o_orderstatus, o_totalprice
+        |      FROM orders) t
+        |GROUP BY o_orderstatus""".stripMargin,
 
     "q_compact" ->
       """SELECT l_returnflag, COUNT(*) AS n,

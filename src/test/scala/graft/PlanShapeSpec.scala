@@ -1,0 +1,32 @@
+package graft
+
+/** Physical-plan shape assertions for the round-3 operators: the
+  * map-side ops must stay map-side (no exchange anywhere in the plan),
+  * and the sampled group-cap must run through the partial→final
+  * GroupTopK ladder rather than a window sort. */
+class PlanShapeSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("chunking, redaction, and quantization are shuffle-free") {
+    for (q <- Seq("q_text_chunks", "q_redact", "q_embed_quantize")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q should be map-side only:\n$p")
+    }
+  }
+
+  test("per-group sampling uses partial+final GroupTopK, one exchange") {
+    val p = plan("q_sample_group")
+    assert(p.contains("GroupTopK"), p)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one exchange, got $exchanges:\n$p")
+  }
+
+  test("quality filter broadcasts the corpus statistic") {
+    val p = plan("q_quality_filter")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"median must reach the filter via broadcast:\n$p")
+  }
+}
