@@ -35,6 +35,16 @@ object EventsOps {
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
           col("event_type"), col("n"))),
 
+    // time-series downsampling: truncate to the minute + aggregate —
+    // the resample step every metrics/telemetry pipeline runs; one
+    // partial+final aggregate, no window machinery needed
+    "q_events_resample" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("minute", col("ts")).as("minute"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(date_format(col("minute"), "yyyy-MM-dd HH:mm:ss").as("m"),
+          col("event_type"), col("n"), col("sum_value"))),
+
     // gap sessionization (30 min) + per-session aggregates
     "q_events_session" -> ((s, d) => {
       val sess = Sessionize.sessionize(Tables.events(s, d),
@@ -61,6 +71,12 @@ object EventsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_events_resample" ->
+      """SELECT STRFTIME(DATE_TRUNC('minute', ts), '%Y-%m-%d %H:%M:%S') AS m,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "q_events_window" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
         |  event_type, COUNT(*) AS n,

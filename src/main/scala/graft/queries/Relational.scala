@@ -83,6 +83,27 @@ object Relational {
           dsum(col("l_extendedprice")).as("sum_price"))
     }),
 
+    // ---- multi-way star join (TPC-H Q5 shape) ----
+    // The canonical warehouse query: two fact tables shuffled on their
+    // join key, every dimension broadcast, filters pushed to the scans.
+    // Catalyst plans the snowflake (nation→region) reduction before the
+    // fact join; at 100 TB the only exchanges are the two fact sides.
+    "q_star_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1995)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+    }),
+
     // ---- sort-merge join: two big tables shuffled on the key ----
     "q_join_smj" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -574,6 +595,19 @@ object Relational {
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY p_brand, s_nationkey""".stripMargin,
+
+    "q_star_join" ->
+      """SELECT n_name, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND CAST(EXTRACT(year FROM o_orderdate) AS INT) = 1995
+        |GROUP BY n_name""".stripMargin,
 
     "q_join_smj" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
