@@ -215,6 +215,33 @@ object LlmOps {
           .as("recon_err"))
     }),
 
+    // Flagship end-to-end training-data prep: quality gate → exact
+    // dedup (lowest doc_id survives, via the same partial+final
+    // GroupTopK operator with k=1 — a dedup is just a group-cap on the
+    // fingerprint) → overlapping chunking. One pipeline, three
+    // exchanges max (fingerprint cap; everything else is map-side),
+    // demonstrating the operators compose without materialization.
+    "q_pipeline" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"),
+          md5(lower(trim(col("text")))).as("fp"))
+        .filter(col("quality") >= 0.5)
+      val kept = graft.plans.GroupTopK.topKPerGroup(scored,
+        Seq(col("fp")), Seq(col("doc_id").asc), k = 1)
+      val toks = kept
+        .select(col("doc_id"), col("quality"),
+          filter(split(col("text"), " "), t => t =!= "").as("toks"))
+        .withColumn("n_tok", size(col("toks")))
+        .filter(col("n_tok") > 0)
+      toks
+        .select(col("doc_id"), col("quality"), col("toks"),
+          posexplode(sequence(lit(0), col("n_tok") - 1, lit(CHUNK_STRIDE))))
+        .select(col("doc_id"), col("quality"), col("pos").as("chunk_idx"),
+          array_join(slice(col("toks"), col("col") + 1, lit(CHUNK_SIZE)), " ")
+            .as("chunk_text"))
+    }),
+
     // TF-IDF: two corpus-wide aggregates (term frequency per doc,
     // document frequency per term) + a broadcast join-back of the small
     // DF table — the fact-side token stream shuffles exactly once (the
@@ -380,6 +407,34 @@ object LlmOps {
         |  SELECT 1 FROM documents c
         |  WHERE c.doc_id % 5 <> 0
         |    AND md5(lower(trim(c.text))) = md5(lower(trim(b.text))))""".stripMargin,
+
+    "q_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, n_chars,
+        |    LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, text, toks,
+        |    ROUND(0.3 * (CASE WHEN LEN(toks) > 0
+        |        THEN LEN(LIST_DISTINCT(toks)) / LEN(toks) ELSE 0.0 END)
+        |      + 0.3 * LEAST(1.0, n_chars / 500.0)
+        |      + 0.4 * LEAST(1.0, (CASE WHEN LEN(toks) > 0
+        |          THEN CAST(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))) AS DOUBLE) / LEN(toks)
+        |          ELSE 0.0 END) / 8.0), 3) AS quality,
+        |    md5(lower(trim(text))) AS fp
+        |  FROM t),
+        |passed AS (SELECT * FROM q WHERE quality >= 0.5),
+        |kept AS (
+        |  SELECT doc_id, quality, toks FROM (
+        |    SELECT doc_id, quality, toks,
+        |      ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        |    FROM passed) x WHERE rk = 1),
+        |c AS (SELECT doc_id, quality, toks,
+        |        UNNEST(RANGE(0, LEN(toks), 24)) AS st
+        |      FROM kept WHERE LEN(toks) > 0)
+        |SELECT doc_id, quality, CAST(st // 24 AS INT) AS chunk_idx,
+        |  ARRAY_TO_STRING(toks[st+1 : st+32], ' ') AS chunk_text
+        |FROM c""".stripMargin,
 
     "q_quality_filter" ->
       """WITH t AS (
