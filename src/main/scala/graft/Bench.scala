@@ -71,7 +71,13 @@ object Bench {
     // and the JSON never parses (this bit rounds 1 and 2). Keep the line
     // minimal: 3-decimal timings, error CLASS names only. Row counts and full
     // error text go to stderr, which the driver does not parse.
-    def f3(v: Double): String = f"$v%.2f"
+    // 1-decimal, trailing zeros stripped ("1.50"→"1.5", "2.00"→"2") —
+    // every byte counts against the driver's ~2000-char tail capture
+    // (84 queries × ~21 chars each must fit with headroom)
+    def f3(v: Double): String = {
+      val s = f"$v%.1f"
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) =>
@@ -81,8 +87,9 @@ object Bench {
       .mkString("{", ",", "}")
     System.err.println(s"""[bench] rows=$rs""")
     val total = timings.values.sum
+    val errField = if (errors.isEmpty) "" else s""","errors":$es"""
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errField,"sf":"${sfDir.split('/').last}"}"""
     if (line.length > 1800) System.err.println(
       s"[bench] WARN metric line ${line.length} chars — may exceed driver tail capture")
     println(line)

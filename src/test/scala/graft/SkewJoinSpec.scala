@@ -32,6 +32,42 @@ class SkewJoinSpec extends SparkSuite {
       .filter(col("k") === 99).count() == 1)
   }
 
+  test("AQE splits the skewed partition at runtime (the automatic path)") {
+    // the manual salted join above is the explicit lever; this asserts the
+    // AQE lever the engine relies on at cluster scale: a sort-merge join
+    // whose hot partition exceeds the (lowered) skew threshold is split
+    // into multiple reader slices, visible as "skewed" AQEShuffleReads
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val bigFact = spark.range(200000)
+        .select(when(col("id") % 50 === 0, col("id") % 5).otherwise(lit(1L)).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(5).select(col("id").as("k"), (col("id") * 10).as("w"))
+        .repartition(4)
+      // execute joined's OWN QueryExecution (count() would plan a separate
+      // aggregate query, leaving this plan un-finalized by AQE)
+      val joined = bigFact.join(right, "k")
+      assert(joined.collect().length == 200000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true") && finalPlan.contains("AQEShuffleRead skewed"),
+        s"expected AQE skew-split readers in final plan:\n$finalPlan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dim-duplicating join types are rejected") {
     intercept[IllegalArgumentException] {
       SkewJoin.saltedJoin(fact, dim, "k", 8, "right")
