@@ -461,6 +461,21 @@ object Relational {
           max(col("k")).as("max_k"))
     }),
 
+    // ---- map columns: parse → explode(map) → re-aggregate ----
+    // MapType round-trip over semi-structured payloads: from_json to a
+    // typed map, generator-explode to (key, value) rows, aggregate per
+    // key. All map-side until the final partial+final aggregate.
+    "q_map_ops" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType)))
+        .select(col("event_id"), explode(col("m")))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+          max(col("value")).as("max_v"))),
+
     // ---- typed UDAF (exact weighted average, order-free buffer) ----
     "q_udaf" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
@@ -844,6 +859,13 @@ object Relational {
         |  CAST(SUM(CAST(REGEXP_EXTRACT(props, '"k":\s*(\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
         |  MAX(CAST(REGEXP_EXTRACT(props, '"k":\s*(\d+)', 1) AS INT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_map_ops" ->
+      """SELECT 'k' AS key, COUNT(*) AS n,
+        |  CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_v,
+        |  MAX(CAST(props->>'$.k' AS INT)) AS max_v
+        |FROM events
+        |WHERE props->>'$.k' IS NOT NULL""".stripMargin,
 
     "q_udaf" ->
       """SELECT l_returnflag,
