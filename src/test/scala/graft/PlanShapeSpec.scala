@@ -24,6 +24,14 @@ class PlanShapeSpec extends SparkSuite {
     assert(exchanges == 1, s"expected exactly one exchange, got $exchanges:\n$p")
   }
 
+  test("end-to-end pipeline has exactly one exchange (the dedup cap)") {
+    val p = plan("q_pipeline")
+    assert(p.contains("GroupTopK") && p.contains("Generate"), p)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"quality gate + chunking must stay map-side around one dedup exchange, got $exchanges:\n$p")
+  }
+
   test("quality filter broadcasts the corpus statistic") {
     val p = plan("q_quality_filter")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
