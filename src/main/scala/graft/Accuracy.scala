@@ -71,7 +71,34 @@ object Accuracy {
       .select(col("n")).collect().map(_.getLong(0)).sorted.toSeq
     val topkDiff = if (approxCounts == exactCounts) 0.0 else 1.0
 
+    // q_approx_percentile: sketch quantiles vs exact percentiles, max
+    // relative error per group/metric (accuracy=1000 → rank error 0.1%)
+    val apx = SparkEntry.queries("q_approx_percentile")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val pctExact = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val pctErr = pctExact.map { case (k, (e50, e90)) =>
+      val (a50, a90) = apx(k)
+      math.max(math.abs(a50 - e50) / e50, math.abs(a90 - e90) / e90)
+    }.max
+
+    // q_hll_union: merged HLL estimates vs exact distincts per nation
+    val hll = SparkEntry.queries("q_hll_union")(spark, d)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val hllExact = Tables.customer(spark, d)
+      .groupBy(col("c_nationkey"))
+      .agg(countDistinct(col("c_custkey")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val hllErr = hllExact.map { case (k, ex) =>
+      math.abs(hll(k) - ex).toDouble / ex }.max
+
     Seq(
+      Check("q_approx_percentile", "max_rel_error_vs_exact", pctErr, 0.05,
+        pctErr <= 0.05),
+      Check("q_hll_union", "max_rel_error_vs_exact", hllErr, 0.05,
+        hllErr <= 0.05),
       Check("q_approx_topk", "count_multiset_diff_vs_exact", topkDiff, 0.0,
         topkDiff == 0.0),
       Check("q_ann_lsh", "topk_recall_vs_brute_force", recall, 0.5, recall >= 0.5),

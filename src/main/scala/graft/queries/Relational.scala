@@ -461,6 +461,29 @@ object Relational {
           max(col("k")).as("max_k"))
     }),
 
+    // ---- sketch re-aggregation: the 100 TB rollup pattern ----
+    // Quantile sketch per group (KLL-style; fixed memory, mergeable):
+    // accuracy-artifact-checked against exact percentiles. No SQL
+    // oracle — sketch internals are engine-specific by design.
+    "q_approx_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+            .as("p50_qty"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000))
+            .as("p90_price"))),
+
+    // DataSketches HLL built per (nation, segment), then UNIONED across
+    // segments — partial aggregates as first-class DATA, re-aggregated
+    // without touching the raw rows again. This is how a 100 TB pipeline
+    // serves distinct-counts at every rollup level from one scan.
+    "q_hll_union" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(hll_sketch_agg(col("c_custkey"), lit(12)).as("sk"))
+        .groupBy(col("c_nationkey"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("approx_customers"))),
+
     // ---- map columns: parse → explode(map) → re-aggregate ----
     // MapType round-trip over semi-structured payloads: from_json to a
     // typed map, generator-explode to (key, value) rows, aggregate per
