@@ -51,6 +51,15 @@ object Prefix {
     *               order-independent accumulation
     * @param out    name of the produced running-sum column
     */
+  /** Global contiguous 1-based row numbering under `order` — the
+    * sharding/example-id assignment step of a training-data pipeline
+    * (and the degenerate prefix scan: value ≡ 1). Same distribution
+    * contract as [[runningSum]]; `order` must be a total order (unique
+    * keys) for the numbering to be deterministic. */
+  def rowNumber(df: DataFrame, bucket: Column, order: Seq[Column],
+                out: String): DataFrame =
+    runningSum(df, bucket, order, lit(1L), out)
+
   def runningSum(df: DataFrame, bucket: Column, order: Seq[Column],
                  value: Column, out: String): DataFrame = {
     val b = df.withColumn("_gbucket", bucket)

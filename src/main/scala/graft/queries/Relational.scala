@@ -276,6 +276,17 @@ object Relational {
     // Exchange SinglePartition over the whole fact table — a one-task
     // bottleneck at scale. Prefix.runningSum is the two-phase scan: bucketed
     // local running sums + broadcast exclusive bucket offsets.
+    // global example-id assignment: contiguous 1-based row numbers with
+    // no SinglePartition over the data (see operators.Prefix) — the
+    // sharding step before writing training examples
+    "q_rownum_global" -> ((s, d) =>
+      graft.operators.Prefix.rowNumber(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber")),
+          bucket = (col("l_orderkey") / lit(2000)).cast("long"),
+          order = Seq(col("l_orderkey"), col("l_linenumber")),
+          out = "rn")
+        .select(col("l_orderkey"), col("l_linenumber"), col("rn"))),
+
     "q_running_global" -> ((s, d) => {
       graft.operators.Prefix.runningSum(
           Tables.lineitem(s, d),
@@ -748,6 +759,11 @@ object Relational {
         |    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS running_qty
+        |FROM lineitem""".stripMargin,
+
+    "q_rownum_global" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
         |FROM lineitem""".stripMargin,
 
     "q_running_global" ->

@@ -96,6 +96,14 @@ object EventsStreaming {
       col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
   }
 
+  /** Stream-static enrichment join: every micro-batch joins against a
+    * STATIC dimension (broadcast; re-resolved per batch, so a reloaded
+    * dim path picks up new data). Stateless — no watermark, no join
+    * state to evict — this is the online feature-lookup / dimension-
+    * enrichment pattern, and the streaming face of `q_join_bcast`. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"))
+
   /** Checkpointed parquet sink: the recovery story. The checkpoint dir
     * holds source offsets + operator state (WAL) and the sink's
     * `_spark_metadata` commit log makes file output exactly-once — a

@@ -146,6 +146,21 @@ class StreamingSpec extends SparkSuite {
     assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(2L, 2L))
   }
 
+  test("stream-static join enriches each micro-batch from a broadcast dim") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventsStreaming.enrichWithDim(in.toDF(), dim)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    in.addData(ev(1, 5, user = 1), ev(2, 6, user = 2), ev(3, 7, user = 9))
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT event_id, tier FROM enrich_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // user 9 has no dim row -> dropped by the inner join
+    assert(got == Set((1L, "gold"), (2L, "basic")))
+  }
+
   test("stream-stream join attributes purchases to prior views in the hour") {
     implicit val sq = spark.sqlContext
     val views = MemoryStream[EventRow]
