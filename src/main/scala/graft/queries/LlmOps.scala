@@ -167,6 +167,17 @@ object LlmOps {
         .select(col("doc_id"), col("fp"))
     }),
 
+    // Corpus collocations: top-20 bigrams by document frequency through
+    // the native WordShingles expression (distinct per doc by
+    // construction) — explode → partial+final count → TakeOrdered, with
+    // a deterministic bigram tiebreak at the rank boundary.
+    "q_ngrams_top" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(graft.expressions.TextExpressions
+          .wordShingles(col("text"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("bigram")).limit(20)),
+
     // Corpus-statistic filtering: keep docs at or above the corpus
     // median quality — one tiny aggregate broadcast back over the
     // corpus, the standard "filter by global statistic" shape (never a
@@ -407,6 +418,16 @@ object LlmOps {
         |  SELECT 1 FROM documents c
         |  WHERE c.doc_id % 5 <> 0
         |    AND md5(lower(trim(c.text))) = md5(lower(trim(b.text))))""".stripMargin,
+
+    "q_ngrams_top" ->
+      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |         LIST_DISTINCT([ARRAY_TO_STRING(ts[i:i+1], ' ')
+        |                        FOR i IN RANGE(1, LEN(ts))]) AS s
+        |       FROM d WHERE LEN(ts) >= 2),
+        |b AS (SELECT UNNEST(s) AS bigram FROM sh)
+        |SELECT bigram, COUNT(*) AS df FROM b GROUP BY bigram
+        |ORDER BY df DESC, bigram LIMIT 20""".stripMargin,
 
     "q_pipeline" ->
       """WITH t AS (
