@@ -207,6 +207,33 @@ object LlmOps {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Bloom-accelerated incremental dedup: build a Bloom filter over the
+    // corpus fingerprints (distributed aggregate; the ~MB filter lands
+    // on the driver like any broadcast side), pre-filter the batch map-
+    // side, and send ONLY the might-contain remainder through the exact
+    // anti-join. False positives are caught by the join, so the output
+    // is exactly q_dedup_incremental's (same oracle) — the bloom just
+    // keeps definitely-new docs out of the shuffle. At 10⁹ corpus keys /
+    // 1% fpp the filter is ~1.2 GB: still broadcastable, or split into
+    // per-range blooms. The mightContain UDF is the documented exception
+    // to the no-UDF rule — `BloomFilter.mightContain` has no Column API.
+    "q_bloom_dedup" -> ((s, d) => {
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
+      val corpus = fp.filter(col("doc_id") % 5 =!= 0)
+      val batch = fp.filter(col("doc_id") % 5 === 0)
+      val bf = corpus.stat.bloomFilter("fp", expectedNumItems = 100000L,
+        fpp = 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((x: String) => bfB.value.mightContainString(x))
+      batch.filter(!mightContain(col("fp")))
+        .select(col("doc_id"), col("fp"))
+        .union(
+          batch.filter(mightContain(col("fp")))
+            .join(corpus.select(col("fp")), Seq("fp"), "left_anti")
+            .select(col("doc_id"), col("fp")))
+    }),
+
     // Per-vector int8 scalar quantization (min/max affine): the 4×
     // storage/IO lever for 100 TB embedding corpora. Map-side only;
     // emits the full code array plus the mean reconstruction error so
@@ -410,6 +437,16 @@ object LlmOps {
         |  REGEXP_REPLACE(props, '[0-9]+', '<NUM>', 'g') AS props_red,
         |  md5(CONCAT(CAST(user_id AS VARCHAR), 'pepper')) AS user_pseudo
         |FROM events WHERE event_id < 2000""".stripMargin,
+
+    // identical contract to q_dedup_incremental — the bloom is an
+    // execution accelerator, not a semantics change
+    "q_bloom_dedup" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp
+        |FROM documents b
+        |WHERE doc_id % 5 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.doc_id % 5 <> 0
+        |    AND md5(lower(trim(c.text))) = md5(lower(trim(b.text))))""".stripMargin,
 
     "q_dedup_incremental" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp
