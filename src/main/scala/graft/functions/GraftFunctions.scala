@@ -62,6 +62,14 @@ object GraftFunctions {
             case l: Long => l.toInt
           }
         else 3), "scala_udf")
+    // native Catalyst aggregate (TypedImperativeAggregate): bounded
+    // k-element heap per group, partial+final like any built-in
+    reg.createOrReplaceTempFunction("graft_topk_vals",
+      exprs => graft.expressions.TopKValuesAggregate(exprs(0),
+        exprs(1).eval(InternalRow.empty) match {
+          case i: Int => i
+          case l: Long => l.toInt
+        }), "scala_udf")
     spark.udf.register("graft_wavg", udaf(WeightedAvgCents))
     // scalar UDF exemplar — same banding as q_conditional but through
     // the UDF machinery, to exercise that surface deliberately

@@ -519,6 +519,20 @@ object Relational {
               |FROM lineitem_u GROUP BY l_returnflag""".stripMargin)
     }),
 
+    // ---- native Catalyst aggregate (TypedImperativeAggregate) ----
+    // bounded k-heap per group; the shuffle carries <=k doubles per
+    // (task, group), never rows — see expressions.TopKValuesAggregate
+    "q_topk_vals" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_tv")
+      s.sql("""SELECT l_returnflag,
+              |  element_at(t, 1) AS t1, element_at(t, 2) AS t2,
+              |  element_at(t, 3) AS t3
+              |FROM (SELECT l_returnflag,
+              |        graft_topk_vals(l_extendedprice, 3) AS t
+              |      FROM lineitem_tv GROUP BY l_returnflag)""".stripMargin)
+    }),
+
     // ---- scalar UDF surface (deliberately; expressions are preferred) ----
     "q_udf" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
@@ -913,6 +927,17 @@ object Relational {
         |    / CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS DOUBLE)
         |    AS wavg_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_topk_vals" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+        |             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                                ORDER BY l_extendedprice DESC) AS rk
+        |           FROM lineitem)
+        |SELECT l_returnflag,
+        |  MAX(CASE WHEN rk = 1 THEN l_extendedprice END) AS t1,
+        |  MAX(CASE WHEN rk = 2 THEN l_extendedprice END) AS t2,
+        |  MAX(CASE WHEN rk = 3 THEN l_extendedprice END) AS t3
+        |FROM r GROUP BY l_returnflag""".stripMargin,
 
     "q_udf" ->
       """SELECT CASE WHEN l_quantity > 40 THEN 'bulk'
