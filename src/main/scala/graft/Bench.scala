@@ -78,8 +78,18 @@ object Bench {
       val s = f"$v%.1f"
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
-    val qs = timings.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    // cap the stdout map at the slowest 60 queries (the ones that carry
+    // performance signal) and roll the rest into omitted counters; the
+    // full map always goes to stderr. BENCH_r02 proved the failure mode:
+    // a 2300-char line truncates at the driver's 2000-char tail capture
+    // and the whole round's bench parses to null.
+    val shown = timings.toSeq.sortBy(-_._2).take(60)
+    val omitted = timings.size - shown.size
+    val omittedSec = timings.values.sum - shown.map(_._2).sum
+    val qs = shown.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    System.err.println("[bench] all_timings=" + timings.map {
+      case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}"))
     val es = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + jesc(v.takeWhile(_ != ':').take(40)) + "\""
     }.mkString("{", ",", "}")
@@ -88,8 +98,10 @@ object Bench {
     System.err.println(s"""[bench] rows=$rs""")
     val total = timings.values.sum
     val errField = if (errors.isEmpty) "" else s""","errors":$es"""
+    val omitField = if (omitted == 0) ""
+      else s""","omitted":$omitted,"omitted_sec":${f3(omittedSec)}"""
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errField,"sf":"${sfDir.split('/').last}"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errField$omitField,"sf":"${sfDir.split('/').last}"}"""
     if (line.length > 1800) System.err.println(
       s"[bench] WARN metric line ${line.length} chars — may exceed driver tail capture")
     println(line)
