@@ -35,6 +35,26 @@ object ZOrder {
 
   /** 64-bit Morton code: bits of `a` on even positions, `b` on odd. */
   def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+
+  /** N-dimensional Morton code: bit j of dimension i lands at position
+    * j*n + i, using the low 64/n bits of each value. The general form
+    * for clustering on 3+ columns (2-D callers get the mask-shift fast
+    * path above via [[InterleaveBits]]). */
+  def interleaveN(vs: Array[Long]): Long = {
+    val n = vs.length
+    val bitsPer = 64 / n
+    var out = 0L
+    var j = 0
+    while (j < bitsPer) {
+      var i = 0
+      while (i < n) {
+        out |= ((vs(i) >>> j) & 1L) << (j * n + i)
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
 }
 
 case class InterleaveBits(left: Expression, right: Expression)
@@ -53,9 +73,41 @@ case class InterleaveBits(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** N-ary Morton interleave (3+ clustering columns); null if any input
+  * is null. Interpreted eval — the write-side sort this feeds is IO
+  * bound, not expression bound. */
+case class InterleaveBitsN(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val arr = new Array[Long](children.length)
+    var i = 0
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      arr(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    ZOrder.interleaveN(arr)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
 object ZOrderExpression {
   def interleaveBits(a: Column, b: Column): Column =
     ColumnBridge.column(InterleaveBits(
       ColumnBridge.expression(a.cast("long")),
       ColumnBridge.expression(b.cast("long"))))
+
+  def interleaveBitsN(cols: Column*): Column = {
+    require(cols.length >= 2, "need at least 2 clustering columns")
+    if (cols.length == 2) interleaveBits(cols(0), cols(1))
+    else ColumnBridge.column(InterleaveBitsN(
+      cols.map(c => ColumnBridge.expression(c.cast("long")))))
+  }
 }

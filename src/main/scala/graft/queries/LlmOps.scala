@@ -181,7 +181,12 @@ object LlmOps {
     // Corpus-statistic filtering: keep docs at or above the corpus
     // median quality — one tiny aggregate broadcast back over the
     // corpus, the standard "filter by global statistic" shape (never a
-    // sort, never a driver collect).
+    // sort, never a driver collect). Scale note: EXACT median is safe
+    // here only because quality is rounded to 3 decimals — Spark's
+    // Percentile buffer is a value→count map merged map-side, so its
+    // size is bounded by the ≤1001 distinct values, not corpus rows.
+    // For unbounded-cardinality columns swap in percentile_approx
+    // (see q_approx_percentile).
     "q_quality_filter" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),

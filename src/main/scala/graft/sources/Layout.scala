@@ -57,10 +57,10 @@ object Layout {
     * `files` bounds output file count (the range partitioner's bucket
     * count); at cluster scale pick it from target file size. */
   def writeZOrdered(df: DataFrame, path: String, files: Int,
-                    x: org.apache.spark.sql.Column,
-                    y: org.apache.spark.sql.Column): Unit = {
+                    clusterCols: org.apache.spark.sql.Column*): Unit = {
     import org.apache.spark.sql.functions.col
-    df.withColumn("_z", graft.expressions.ZOrderExpression.interleaveBits(x, y))
+    df.withColumn("_z",
+        graft.expressions.ZOrderExpression.interleaveBitsN(clusterCols: _*))
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")

@@ -42,6 +42,26 @@ class ZOrderSpec extends SparkSuite {
       s"z-order touched $zFiles files vs linear $linFiles")
   }
 
+  test("n-dim interleave agrees with 2-dim on the shared prefix bits") {
+    // with n=2, interleaveN places bit j of dim i at 2j+i — identical to
+    // the mask-shift fast path for 32-bit inputs
+    for ((a, b) <- Seq((0L, 0L), (3L, 0L), (0L, 3L), (12345L, 67890L),
+        (0xFFFFFFFFL, 0xFFFFFFFFL))) {
+      assert(ZOrder.interleaveN(Array(a, b)) == ZOrder.interleave(a, b))
+    }
+    // 3 dims: bit j of dim i at position 3j+i
+    assert(ZOrder.interleaveN(Array(1L, 0L, 0L)) == 1L)
+    assert(ZOrder.interleaveN(Array(0L, 1L, 0L)) == 2L)
+    assert(ZOrder.interleaveN(Array(0L, 0L, 1L)) == 4L)
+    assert(ZOrder.interleaveN(Array(2L, 0L, 0L)) == 8L)
+    // expression path: 3-column codes are computed and distinct
+    val rows = Tables.lineitem(spark, sfDir).limit(100)
+      .select(graft.expressions.ZOrderExpression.interleaveBitsN(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(rows.distinct.length > 1)
+  }
+
   test("expression matches the scalar helper through codegen") {
     val rows = Tables.lineitem(spark, sfDir).limit(500)
       .select(col("l_orderkey"), col("l_partkey"),
