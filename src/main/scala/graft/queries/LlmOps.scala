@@ -248,13 +248,16 @@ object LlmOps {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("mn", array_min(col("v")))
         .withColumn("mx", array_max(col("v")))
+        // constant vector → range 0 → all codes 0, zero error (not NaN)
+        .withColumn("rng", when(col("mx") === col("mn"), lit(1.0))
+          .otherwise(col("mx") - col("mn")))
       e.select(col("vec_id"),
         array_join(transform(col("v"), x =>
-          round((x - col("mn")) * lit(255.0) / (col("mx") - col("mn")))
+          round((x - col("mn")) * lit(255.0) / col("rng"))
             .cast("int")), ",").as("codes"),
         round(aggregate(col("v"), lit(0.0d), (acc, x) =>
-          acc + abs(x - (round((x - col("mn")) * lit(255.0) / (col("mx") - col("mn")))
-            * (col("mx") - col("mn")) / lit(255.0) + col("mn")))) / lit(EMBED_DIM.toDouble), 4)
+          acc + abs(x - (round((x - col("mn")) * lit(255.0) / col("rng"))
+            * col("rng") / lit(255.0) + col("mn")))) / lit(EMBED_DIM.toDouble), 4)
           .as("recon_err"))
     }),
 
@@ -526,13 +529,16 @@ object LlmOps {
     "q_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
-        |m AS (SELECT vec_id, v, LIST_MIN(v) AS mn, LIST_MAX(v) AS mx FROM e)
+        |m AS (SELECT vec_id, v, LIST_MIN(v) AS mn,
+        |        CASE WHEN LIST_MAX(v) = LIST_MIN(v) THEN 1.0
+        |             ELSE LIST_MAX(v) - LIST_MIN(v) END AS rng
+        |      FROM e)
         |SELECT vec_id,
         |  ARRAY_TO_STRING(LIST_TRANSFORM(v, x ->
-        |    CAST(ROUND((x - mn) * 255.0 / (mx - mn)) AS INT)), ',') AS codes,
+        |    CAST(ROUND((x - mn) * 255.0 / rng) AS INT)), ',') AS codes,
         |  ROUND(LIST_SUM(LIST_TRANSFORM(v, x ->
-        |    ABS(x - (ROUND((x - mn) * 255.0 / (mx - mn))
-        |             * (mx - mn) / 255.0 + mn)))) / 64.0, 4) AS recon_err
+        |    ABS(x - (ROUND((x - mn) * 255.0 / rng)
+        |             * rng / 255.0 + mn)))) / 64.0, 4) AS recon_err
         |FROM m""".stripMargin,
 
     "q_tfidf" ->
