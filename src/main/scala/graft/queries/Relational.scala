@@ -306,6 +306,20 @@ object Relational {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("prev_price"))
     }),
 
+    // ---- window: time-RANGE frame (30-day moving count) ----
+    // RANGE over an interval — frame membership by event-time value,
+    // not row position; ties (same customer, same day) are all in-frame
+    // so the result is deterministic
+    "q_window_timerange" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_tr")
+      s.sql("""SELECT o_custkey, o_orderkey,
+              |  COUNT(*) OVER (PARTITION BY o_custkey
+              |                 ORDER BY CAST(o_orderdate AS TIMESTAMP)
+              |                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
+              |                           AND CURRENT ROW) AS n30
+              |FROM orders_tr""".stripMargin)
+    }),
+
     // ---- window: distribution functions ----
     "q_window_dist" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority"))
@@ -792,6 +806,14 @@ object Relational {
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
         |                             ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders""".stripMargin,
+
+    "q_window_timerange" ->
+      """SELECT o_custkey, o_orderkey,
+        |  COUNT(*) OVER (PARTITION BY o_custkey
+        |                 ORDER BY CAST(o_orderdate AS TIMESTAMP)
+        |                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
+        |                           AND CURRENT ROW) AS n30
         |FROM orders""".stripMargin,
 
     "q_window_dist" ->

@@ -84,16 +84,20 @@ object EventsStreaming {
     * so each side's buffered state is evictable once the watermark
     * passes the bound — without the time bound a stream-stream join
     * must buffer both streams forever. */
-  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame,
+                       joinType: String = "inner"): DataFrame = {
     val v = views.withWatermark("ts", "30 minutes")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("view_id"))
     val p = purchases.withWatermark("ts", "30 minutes")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"), col("value"))
+    // left_outer additionally emits (view, null) once the watermark
+    // proves no in-bound purchase can still arrive — the state-eviction
+    // deadline doubles as the null-emission trigger
     v.join(p, col("v_user") === col("p_user") &&
       col("p_ts") >= col("v_ts") &&
-      col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"), joinType)
   }
 
   /** Stream-static enrichment join: every micro-batch joins against a

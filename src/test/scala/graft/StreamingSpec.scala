@@ -146,6 +146,33 @@ class StreamingSpec extends SparkSuite {
     assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(2L, 2L))
   }
 
+  test("left-outer stream-stream join emits null match after watermark") {
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[EventRow]
+    val purchases = MemoryStream[EventRow]
+    val q = EventsStreaming.viewPurchaseJoin(views.toDF(), purchases.toDF(),
+        joinType = "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_left_out").start()
+    // user 3 views at 10:05 with NO purchase; matched pair for user 1
+    views.addData(ev(1, 5, user = 1), ev(2, 5, user = 3))
+    purchases.addData(ev(100, 20, user = 1, typ = "purchase", v = 9.0))
+    q.processAllAvailable()
+    // push both watermarks far past 10:05 + 1h bound + 30m delay so the
+    // unmatched view's state expires and the null row is emitted
+    val far = java.sql.Timestamp.valueOf("2024-01-01 14:00:00")
+    views.addData(EventRow(50, far, 9L, "click", 1.0))
+    purchases.addData(EventRow(51, far, 9L, "purchase", 1.0))
+    q.processAllAvailable()
+    views.addData(EventRow(52, far, 9L, "click", 1.0))
+    purchases.addData(EventRow(53, far, 9L, "purchase", 1.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql(
+      "SELECT view_id, purchase_id FROM ss_left_out WHERE view_id IN (1, 2)")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(got == Set((1L, Some(100L)), (2L, None)))
+  }
+
   test("stream-static join enriches each micro-batch from a broadcast dim") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[EventRow]
