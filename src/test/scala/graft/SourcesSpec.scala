@@ -46,6 +46,17 @@ class SourcesSpec extends SparkSuite {
     assert(back.exceptAll(nation).isEmpty && nation.exceptAll(back).isEmpty)
   }
 
+  test("text round-trip: one line per document") {
+    val dir = Files.createTempDirectory("graft_src").toString
+    val docs = Tables.documents(spark, sfDir).select(col("text"))
+      .filter(!col("text").contains("\n"))
+    docs.write.text(s"$dir/docs_txt")
+    val back = spark.read.text(s"$dir/docs_txt")
+      .select(col("value").as("text"))
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
   test("filter + projection reach the parquet scan (pushdown/pruning)") {
     val q = SparkEntry.queries("q_filter_project")(spark, sfDir)
     val scan = q.queryExecution.executedPlan.toString
