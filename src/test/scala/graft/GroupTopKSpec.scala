@@ -35,6 +35,17 @@ class GroupTopKSpec extends SparkSuite {
     assert(!plan.contains("Sort "), s"top-k must not sort:\n$plan")
   }
 
+  test("empty group list = global top-k (partial caps each map task)") {
+    val global = GroupTopK.topKPerGroup(orders, Seq.empty,
+        Seq(orders("o_totalprice").desc, orders("o_orderkey").asc), k = 10)
+      .select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    val expect = orders.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    assert(global == expect)
+  }
+
   test("k larger than any group returns all rows") {
     val n = orders.count()
     val all = GroupTopK.topKPerGroup(orders,
