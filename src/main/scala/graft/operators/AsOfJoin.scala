@@ -54,4 +54,41 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select(col("__l.*"), col("__match"))
   }
+
+  /** Forward as-of: attach the EARLIEST right row at or after the left
+    * row's timestamp (the "next event" lookup — e.g. first response
+    * following a request). Same single-shuffle envelope, mirrored: left
+    * sorts BEFORE right at equal ts (side 0 < 1 with left=0 here) so
+    * `>=` is inclusive, and the window looks forward with
+    * `first(ignoreNulls)` over (currentRow, unboundedFollowing). */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String,
+                  rightPayload: Seq[String],
+                  tiebreak: Option[String] = None): DataFrame = {
+    val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rStruct = struct(rightPayload.map(col).toIndexedSeq: _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+
+    def tb(df: DataFrame): Column =
+      tiebreak.map(c => col(c).cast("long")).getOrElse(lit(0L))
+
+    val l2 = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__ts"), lit(0).as("__side"), tb(left).as("__tb"),
+        lStruct.as("__l"), lit(null).cast(rType).as("__r")): _*)
+    val r2 = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"), lit(1).as("__side"), tb(right).as("__tb"),
+        lit(null).cast(lType).as("__l"), rStruct.as("__r")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__tb"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    l2.unionByName(r2)
+      .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(col("__l.*"), col("__match"))
+  }
 }

@@ -29,6 +29,27 @@ class AsOfJoinSpec extends SparkSuite {
     assert(got(200L).isEmpty)        // no right rows for key 2
   }
 
+  test("asofForward picks earliest right row at or after left ts, per key") {
+    val left = Seq(
+      (1L, 100L, ts(50)), (1L, 101L, ts(10)), (1L, 102L, ts(70)),
+      (2L, 200L, ts(30))
+    ).toDF("user_id", "event_id", "t")
+    val right = Seq(
+      (1L, 900L, ts(8)), (1L, 901L, ts(50)), (1L, 902L, ts(60)),
+      (3L, 903L, ts(1))
+    ).toDF("user_id", "event_id", "t")
+
+    val got = AsOfJoin.asofForward(left, right, Seq("user_id"),
+        "t", "t", Seq("event_id"), tiebreak = Some("event_id"))
+      .select(col("event_id"), col("__match.event_id").as("m"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+
+    assert(got(100L).contains(901L)) // inclusive: right at same ts matches
+    assert(got(101L).contains(901L)) // earliest >= 10 is ts(50)
+    assert(got(102L).isEmpty)        // nothing at or after ts(70)
+    assert(got(200L).isEmpty)        // no right rows for key 2
+  }
+
   test("asofBackward keeps every left row exactly once") {
     val left = Seq((1L, 1L, ts(1)), (1L, 2L, ts(2)), (2L, 3L, ts(3)))
       .toDF("k", "id", "t")
