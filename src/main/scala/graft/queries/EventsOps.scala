@@ -55,6 +55,20 @@ object EventsOps {
             .as("n_purchases"))
     }),
 
+    // forward as-of: each purchase matched to the user's EARLIEST
+    // signup at or after the purchase time (next-event lookup)
+    "q_asof_forward" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      AsOfJoin.asofForward(purchases, signups, Seq("user_id"),
+          "ts", "ts", Seq("event_id"), tiebreak = Some("event_id"))
+        .select(col("event_id").as("purchase_id"),
+          col("__match.event_id").as("next_signup_id"))
+    }),
+
     // as-of join: each purchase matched to the user's latest signup at
     // or before the purchase time
     "q_asof_join" -> ((s, d) => {
@@ -109,6 +123,14 @@ object EventsOps {
         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
         |       AS BIGINT) AS n_purchases
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q_asof_forward" ->
+      """SELECT l.event_id AS purchase_id, r.event_id AS next_signup_id
+        |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts
+        |      FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts
+        |      FROM events WHERE event_type = 'signup') r
+        |ON l.user_id = r.user_id AND l.uts <= r.uts""".stripMargin,
 
     "q_asof_join" ->
       """SELECT l.event_id AS purchase_id, r.event_id AS signup_id
