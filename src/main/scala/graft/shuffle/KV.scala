@@ -47,4 +47,35 @@ object KV {
   def mapGroups[K: Encoder, V, O: Encoder](ds: Dataset[(K, V)])(
       f: (K, Iterator[V]) => O): Dataset[O] =
     ds.groupByKey(_._1).mapGroups((k, it) => f(k, it.map(_._2)))
+
+  /** Secondary sort: each key's values delivered in ascending VALUE
+    * order, streaming (Hadoop's grouping-comparator pattern). The
+    * reference's merge emits total (key, value) order, so its reducer
+    * sees sorted values for free (src/Merger/MergeQueue.h:126-270);
+    * Spark's `mapGroups` does not sort values, so this routes through
+    * one exchange + per-partition sort — Spark's ExternalSorter, spill
+    * included — then walks key runs with a single buffered pass. The
+    * group's values are never buffered: `f` receives a streaming
+    * iterator, so a hot key spills to the sorter, not to reducer memory. */
+  def sortedValueGroups[K, V, O: Encoder](ds: Dataset[(K, V)], n: Int)(
+      f: (K, Iterator[V]) => O): Dataset[O] = {
+    val sorted = ds.repartition(n, col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"))
+    sorted.mapPartitions { rows =>
+      val buf = rows.buffered
+      new Iterator[O] {
+        override def hasNext: Boolean = buf.hasNext
+        override def next(): O = {
+          val k = buf.head._1
+          val vs = new Iterator[V] {
+            override def hasNext: Boolean = buf.hasNext && buf.head._1 == k
+            override def next(): V = buf.next()._2
+          }
+          val out = f(k, vs)
+          while (vs.hasNext) vs.next() // drain to the next key run
+          out
+        }
+      }
+    }
+  }
 }

@@ -50,4 +50,24 @@ class KVSpec extends SparkSuite {
     }.collect().sortBy(_._1)
     assert(got.toSeq == Seq((1, "x,y"), (2, "z")))
   }
+
+  test("sortedValueGroups streams each key's values in value order") {
+    val rnd = new scala.util.Random(7)
+    val kvs = Seq.fill(2000)((rnd.nextInt(20), rnd.nextInt(100000)))
+    // concatenating values AS DELIVERED must equal the pre-sorted list —
+    // no .sorted inside f: the iterator order is the assertion
+    val got = KV.sortedValueGroups(spark.createDataset(kvs), n = 7) {
+      (k, it) => (k, it.mkString(","))
+    }.collect().toMap
+    val expect = kvs.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).sorted.mkString(",") }
+    assert(got == expect)
+    // partial consumption must not break subsequent key runs
+    val firstOnly = KV.sortedValueGroups(spark.createDataset(kvs), n = 3) {
+      (k, it) => (k, it.next())
+    }.collect().toMap
+    val expectFirst = kvs.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).min }
+    assert(firstOnly == expectFirst)
+  }
 }
