@@ -497,17 +497,23 @@ object Relational {
           percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000))
             .as("p90_price"))),
 
-    // DataSketches HLL built per (nation, segment), then UNIONED across
-    // segments — partial aggregates as first-class DATA, re-aggregated
+    // DataSketches HLL built per (nation, segment), PERSISTED to parquet
+    // as a binary column, then read back and UNIONED across segments —
+    // partial aggregates as first-class stored DATA, re-aggregated
     // without touching the raw rows again. This is how a 100 TB pipeline
-    // serves distinct-counts at every rollup level from one scan.
-    "q_hll_union" -> ((s, d) =>
+    // serves distinct-counts at every rollup level from one scan: the
+    // sketch table is thousands of rows, the fact re-scan is zero.
+    "q_hll_union" -> ((s, d) => {
+      val skPath = s"/tmp/graft_layout/${java.lang.Integer.toHexString(d.hashCode)}/cust_sketches"
       Tables.customer(s, d)
         .groupBy(col("c_nationkey"), col("c_mktsegment"))
         .agg(hll_sketch_agg(col("c_custkey"), lit(12)).as("sk"))
+        .write.mode("overwrite").parquet(skPath)
+      s.read.parquet(skPath)
         .groupBy(col("c_nationkey"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
-          .as("approx_customers"))),
+          .as("approx_customers"))
+    }),
 
     // ---- map columns: parse → explode(map) → re-aggregate ----
     // MapType round-trip over semi-structured payloads: from_json to a
