@@ -104,6 +104,28 @@ object Relational {
             .cast("double").as("revenue"))
     }),
 
+    // ---- OR-condition join, rewritten scale-safe ----
+    // A join on (a=x OR b=y) plans as a nested-loop in Spark (no single
+    // equi key) — O(|L|·|R|). The standard rewrite: one equi-join per
+    // disjunct, union, dedup on the output key. Each leg hash-joins;
+    // the plan never contains a cartesian/BNLJ (asserted in
+    // PlanShapeSpec).
+    "q_join_or" -> ((s, d) => {
+      val su = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey").cast("int").as("sn"),
+          floor(col("s_acctbal") / 1000).cast("long").as("sband"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("cn"),
+          floor(col("c_acctbal") / 1000).cast("long").as("cband"))
+      val byNation = su.join(c, col("sn") === col("cn"))
+      val byCode = su.join(c, col("sband") === col("cband"))
+      byNation.select(col("s_suppkey"), col("c_custkey"))
+        .union(byCode.select(col("s_suppkey"), col("c_custkey")))
+        .distinct()
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_matches"))
+    }),
+
     // ---- sort-merge join: two big tables shuffled on the key ----
     "q_join_smj" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -691,6 +713,15 @@ object Relational {
         |WHERE r_name = 'ASIA'
         |  AND CAST(EXTRACT(year FROM o_orderdate) AS INT) = 1995
         |GROUP BY n_name""".stripMargin,
+
+    "q_join_or" ->
+      """SELECT s_suppkey, COUNT(*) AS n_matches FROM (
+        |  SELECT DISTINCT s_suppkey, c_custkey
+        |  FROM supplier, customer
+        |  WHERE CAST(s_nationkey AS INT) = c_nationkey
+        |     OR CAST(FLOOR(s_acctbal / 1000) AS BIGINT)
+        |      = CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) t
+        |GROUP BY s_suppkey""".stripMargin,
 
     "q_join_smj" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,

@@ -32,6 +32,12 @@ class PlanShapeSpec extends SparkSuite {
       s"quality gate + chunking must stay map-side around one dedup exchange, got $exchanges:\n$p")
   }
 
+  test("OR-join rewrite contains no nested-loop or cartesian join") {
+    val p = plan("q_join_or")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"disjunctive join must run as union of equi-joins:\n$p")
+  }
+
   test("quality filter broadcasts the corpus statistic") {
     val p = plan("q_quality_filter")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
