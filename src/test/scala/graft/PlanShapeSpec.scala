@@ -38,6 +38,26 @@ class PlanShapeSpec extends SparkSuite {
       s"disjunctive join must run as union of equi-joins:\n$p")
   }
 
+  test("no query plans a cartesian/nested-loop join, except documented paths") {
+    // Every entry here is a deliberate, bounded exception:
+    //  - q_ann_cosine: brute-force baseline — few queries BROADCAST
+    //    against the corpus (documented contract, candidates never shuffle)
+    //  - q_quality_filter / q_tfidf: a 1-row global statistic crossJoined
+    //    back via broadcast (BNLJ over exactly one row)
+    val allowed = Set("q_ann_cosine", "q_quality_filter", "q_tfidf")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowed)
+      .flatMap { name =>
+        val p = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct")) Some(s"$name: cartesian")
+        else if (p.contains("BroadcastNestedLoopJoin")) Some(s"$name: BNLJ")
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"unexpected non-equi join strategies:\n${offenders.mkString("\n")}")
+  }
+
   test("quality filter broadcasts the corpus statistic") {
     val p = plan("q_quality_filter")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
