@@ -167,6 +167,22 @@ object LlmOps {
         .select(col("doc_id"), col("fp"))
     }),
 
+    // Train/eval contamination scan: an eval doc is contaminated if it
+    // shares ANY 5-gram with any training doc (the benchmark-leakage
+    // check run before every training set ships). Inverted-index
+    // left-semi join on the shingle — the eval side short-circuits at
+    // first match, nothing materializes the pair list.
+    "q_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def grams(df: DataFrame) = df.select(col("doc_id"),
+        explode(graft.expressions.TextExpressions
+          .wordShingles(col("text"), 5)).as("g"))
+      val evalSet = grams(docs.filter(col("doc_id") % 50 === 0))
+      val trainSet = grams(docs.filter(col("doc_id") % 50 =!= 0))
+      evalSet.join(trainSet.select(col("g")).distinct(), Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+    }),
+
     // Corpus collocations: top-20 bigrams by document frequency through
     // the native WordShingles expression (distinct per doc by
     // construction) — explode → partial+final count → TakeOrdered, with
@@ -463,6 +479,16 @@ object LlmOps {
         |  SELECT 1 FROM documents c
         |  WHERE c.doc_id % 5 <> 0
         |    AND md5(lower(trim(c.text))) = md5(lower(trim(b.text))))""".stripMargin,
+
+    "q_contamination" ->
+      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |         LIST_DISTINCT([ARRAY_TO_STRING(ts[i:i+4], ' ')
+        |                        FOR i IN RANGE(1, LEN(ts)-3)]) AS s
+        |       FROM d WHERE LEN(ts) >= 5),
+        |ev AS (SELECT doc_id, UNNEST(s) AS g FROM sh WHERE doc_id % 50 = 0),
+        |cp AS (SELECT DISTINCT UNNEST(s) AS g FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT DISTINCT ev.doc_id FROM ev JOIN cp USING (g)""".stripMargin,
 
     "q_ngrams_top" ->
       """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
