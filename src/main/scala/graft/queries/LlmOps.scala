@@ -167,6 +167,21 @@ object LlmOps {
         .select(col("doc_id"), col("fp"))
     }),
 
+    // Corpus composition report: doc/byte share per source — the mix
+    // table on every dataset card. One partial+final aggregate; the
+    // percentage denominator is a broadcast 1-row total (counted in the
+    // same pass's output, not a second scan of the corpus).
+    "q_source_mix" -> ((s, d) => {
+      val bySource = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      val tot = bySource.agg(sum(col("n_docs")).as("tot"))
+      bySource.crossJoin(broadcast(tot))
+        .withColumn("pct",
+          round(col("n_docs") * lit(100.0) / col("tot"), 2))
+        .select(col("source"), col("n_docs"), col("n_chars"), col("pct"))
+    }),
+
     // Train/eval contamination scan: an eval doc is contaminated if it
     // shares ANY 5-gram with any training doc (the benchmark-leakage
     // check run before every training set ships). Inverted-index
@@ -479,6 +494,12 @@ object LlmOps {
         |  SELECT 1 FROM documents c
         |  WHERE c.doc_id % 5 <> 0
         |    AND md5(lower(trim(c.text))) = md5(lower(trim(b.text))))""".stripMargin,
+
+    "q_source_mix" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM documents), 2) AS pct
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q_contamination" ->
       """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),

@@ -42,9 +42,10 @@ class PlanShapeSpec extends SparkSuite {
     // Every entry here is a deliberate, bounded exception:
     //  - q_ann_cosine: brute-force baseline — few queries BROADCAST
     //    against the corpus (documented contract, candidates never shuffle)
-    //  - q_quality_filter / q_tfidf: a 1-row global statistic crossJoined
-    //    back via broadcast (BNLJ over exactly one row)
-    val allowed = Set("q_ann_cosine", "q_quality_filter", "q_tfidf")
+    //  - q_quality_filter / q_tfidf / q_source_mix: a 1-row global
+    //    statistic crossJoined back via broadcast (BNLJ over one row)
+    val allowed = Set("q_ann_cosine", "q_quality_filter", "q_tfidf",
+      "q_source_mix")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
