@@ -17,11 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.LlmOps.queries ++
-      graft.queries.EventsOps.queries ++ graft.queries.Storage.queries
+      graft.queries.EventsOps.queries ++ graft.queries.Storage.queries ++
+      graft.queries.Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.LlmOps.oracles ++
-      graft.queries.EventsOps.oracles ++ graft.queries.Storage.oracles
+      graft.queries.EventsOps.oracles ++ graft.queries.Storage.oracles ++
+      graft.queries.Analytics.oracles
 }

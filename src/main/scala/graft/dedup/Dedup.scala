@@ -253,4 +253,31 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a").as("id_a"), col("b").as("id_b"), col("cos").as("cos_sim"))
   }
+
+  /** Shingle CONTAINMENT pairs: |A ∩ B| / |A| ≥ threshold, A ≠ B —
+    * the asymmetric cousin of Jaccard that catches a document embedded
+    * inside a larger one (quote inclusion, page-in-crawl), which
+    * symmetric Jaccard misses because the size difference dilutes the
+    * union. Same inverted-index shape as [[ngramJaccardPairs]] (only
+    * docs sharing ≥ 1 shingle ever pair; one exchange on the shingle
+    * key, pair aggregation carries ids + counts only), emitted in both
+    * directions since containment is directional. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int, threshold: Double): DataFrame = {
+    val inv = docs.select(col(idCol).as("id"),
+        TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).as("n"), col("sh"))
+      .repartition(col("id"))
+      .select(col("id"), col("n"), explode(col("sh")).as("g"))
+    inv.select(col("g"), col("id").as("inner_doc"), col("n").as("na"))
+      .join(inv.select(col("g"), col("id").as("outer_doc")), "g")
+      .filter(col("inner_doc") =!= col("outer_doc"))
+      .groupBy(col("inner_doc"), col("outer_doc"))
+      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"))
+      .withColumn("c", col("inter") / col("na"))
+      .filter(col("c") >= threshold)
+      .select(col("inner_doc"), col("outer_doc"),
+        round(col("c"), 3).as("containment"))
+  }
 }

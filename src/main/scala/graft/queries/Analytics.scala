@@ -1,0 +1,378 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.dedup.Dedup
+
+/** Analytical / data-science operators over the fixture tables: statistical
+  * aggregates, histograms, arg-max, event-sequence analysis (transitions,
+  * funnel, cohort retention), SCD2 history build, fuzzy (edit-distance)
+  * matching, normalized-text dedup, and null-safe joins.
+  *
+  * These are the report/feature-engineering layer a training-data pipeline
+  * runs on top of the relational substrate (reference: UDA provides only the
+  * shuffle/merge substrate — src/Merger/MergeQueue.h:126-270 — every category
+  * here is new engine surface per SURVEY.md §2.2's "none in reference" rows).
+  *
+  * Determinism notes (the oracle hash-compares values):
+  *  - `events.ts` is nanos in parquet, micros in Spark (Tables.events); every
+  *    ORDER BY in this file first truncates to milliseconds IN BOTH ENGINES
+  *    and tie-breaks on `event_id`, so window order is engine-independent.
+  *  - doubles that pass through accumulation are rounded (corr to 4 dp,
+  *    spreads to 2 dp) — both engines compute Pearson/variance streaming;
+  *    rounding absorbs the ~1e-12 summation-order difference.
+  */
+object Analytics {
+
+  /** ms-truncated event time — identical in Spark (µs input) and DuckDB
+    * (ns input): both floor to the millisecond. */
+  private def tsm: Column = date_trunc("millisecond", col("ts"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- fixed-width histogram: one scan, partial+final count per bucket --
+    "q_histogram" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          floor(col("l_extendedprice") / 1000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
+    // ---- statistical aggregates: corr / covar / stddev per group ---------
+    "q_corr_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+            .as("cov_qp"))),
+
+    // ---- arg-max (max_by): top order per market segment ------------------
+    // max_by over a struct gives lexicographic (price, orderkey) arg-max —
+    // deterministic under price ties; one partial+final aggregate, the
+    // orders fact shuffles once on the segment key after a broadcast join.
+    "q_argmax" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(max_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("top_order"),
+          max(col("o_totalprice")).as("top_price"))
+    }),
+
+    // ---- event-sequence transitions (Markov edge counts) -----------------
+    "q_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(tsm, col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- conversion funnel: signup -> view -> purchase, strictly ordered --
+    // one scan: per-user min step times via conditional aggregation, then a
+    // single-row reduce; no joins, no window.
+    "q_funnel" -> ((s, d) => {
+      def stepMin(t: String) = min(when(col("event_type") === t, tsm))
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(stepMin("signup").as("t_signup"), stepMin("view").as("t_view"),
+          stepMin("purchase").as("t_purchase"))
+        .agg(
+          sum(when(col("t_signup").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+          sum(when(col("t_signup") < col("t_view"), 1L).otherwise(0L))
+            .as("n_signup_view"),
+          sum(when(col("t_signup") < col("t_view") &&
+                   col("t_view") < col("t_purchase"), 1L).otherwise(0L))
+            .as("n_full_funnel"))
+    }),
+
+    // ---- SCD2 history build (the CDC/merge pattern): each signup event is
+    // a new dimension version; valid_to = next version's valid_from ---------
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(tsm, col("event_id"))
+      Tables.events(s, d)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("vf", tsm)
+        .withColumn("vt", lead(col("vf"), 1).over(w))
+        .select(col("user_id"), col("event_id").as("version_id"),
+          date_format(col("vf"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          coalesce(date_format(col("vt"), "yyyy-MM-dd HH:mm:ss"),
+            lit("9999-12-31 00:00:00")).as("valid_to"),
+          col("vt").isNull.as("is_current"))
+    }),
+
+    // ---- cohort retention: signup-week cohorts x weeks-since activity ----
+    "q_cohort" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(date_trunc("week", min(tsm)).as("cohort_week"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", tsm).as("wk")).distinct()
+      active.join(cohort, Seq("user_id"))
+        .filter(col("wk") >= col("cohort_week"))
+        .groupBy(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort"),
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("int")
+            .as("weeks_since"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+    }),
+
+    // ---- fuzzy (edit-distance) match: blocked self-join ------------------
+    // Blocking key (p_size) bounds the candidate pair space — the same
+    // block-then-verify shape as the LSH dedups; at 100 TB the block key
+    // would be (size, first token) to keep blocks balanced. The join is an
+    // equi-join on the block key (no nested loop); levenshtein runs only on
+    // in-block pairs.
+    "q_fuzzy_join" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+        col("p_size").as("size"))
+      val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
+        col("p_size").as("size"))
+      a.join(b, "size")
+        .filter(col("key_a") < col("key_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
+          col("dist"))
+    }),
+
+    // ---- normalized (order-insensitive) dedup: the fingerprint is the
+    // SORTED DISTINCT TOKEN SET, so casefold/reorder/repeat variants of the
+    // same content collapse to one group — the cheap "fuzzy-exact" pass
+    // every corpus pipeline runs before spending MinHash on real near-dups.
+    // Map-side fingerprint, one hash exchange on the md5 — same scale shape
+    // as exact dedup.
+    "q_dedup_norm" -> ((s, d) => {
+      val norm = array_join(
+        array_sort(array_distinct(split(lower(col("text")), " "))), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), norm.as("norm"))
+        .groupBy(md5(col("norm")).as("fp"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("canonical"),
+          concat_ws(",", sort_array(collect_list(col("doc_id")))).as("members"))
+        .filter(col("n") > 1)
+    }),
+
+    // ---- shingle containment: doc-inside-doc detection (asymmetric) ------
+    "q_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleSize = 3, threshold = 0.9)),
+
+    // ---- time-series gap fill + forward fill ------------------------------
+    // Build the dense (event_type × minute) spine with sequence()+explode
+    // (the 1-row min/max statistic broadcast back — same shape as
+    // q_quality_filter), left-join the sparse resample, forward-fill with
+    // last(ignoreNulls) over a partitioned window. The ONLY unbounded
+    // thing here is the spine length (minutes of history), never the data.
+    "q_gap_fill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val base = ev.filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("minute", col("ts")).as("minute"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("v"))
+      val bounds = base.agg(min(col("minute")).as("lo"), max(col("minute")).as("hi"))
+      val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 minute"))).as("minute"))
+      val w = Window.orderBy(col("minute"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // single series => single-partition window over #minutes rows is the
+      // contract (one spine per key when partitioned by a real key column)
+      spine.join(base, Seq("minute"), "left")
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .select(date_format(col("minute"), "yyyy-MM-dd HH:mm:ss").as("m"),
+          col("v").isNull.as("was_gap"), col("filled"))
+    }),
+
+    // ---- token-distribution Shannon entropy per source --------------------
+    // H = log2(N) - Σ n·log2(n) / N over token counts: two aggregation
+    // levels, both partial+final; the token space never leaves the shuffle
+    // as anything bigger than (source, token, count).
+    "q_entropy" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      toks.groupBy(col("source"))
+        .agg(sum(col("n")).as("total"),
+          sum(col("n") * log2(col("n"))).as("nlogn"),
+          count(lit(1)).as("vocab"))
+        .select(col("source"),
+          round(log2(col("total")) - col("nlogn") / col("total"), 3)
+            .as("entropy_bits"),
+          col("vocab"))
+    }),
+
+    // ---- robust statistics: median absolute deviation per group ----------
+    // Exact two-pass MAD: grouped exact median, broadcast back, grouped
+    // exact median of |x - med| — the outlier-resistant spread metric
+    // quality filtering uses when stddev is poisoned by the outliers
+    // themselves.
+    "q_mad" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      li.join(broadcast(med), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(round(first(col("med")), 3).as("median_price"),
+          round(expr("percentile(abs(l_extendedprice - med), 0.5)"), 3)
+            .as("mad_price"))
+    }),
+
+    // ---- null-safe join (<=>): NULL keys are real join partners ----------
+    // (the normalized-field compare every CDC/upsert pipeline needs)
+    "q_join_nullsafe" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("k",
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int"))
+      val bucket = when(col("k") % 10 === 0, lit(null)).otherwise(col("k") % 10)
+      val all = ev.select(bucket.as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_all"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(bucket.as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_purchase"))
+      all.join(pur.withColumnRenamed("bucket", "bucket_p"),
+          col("bucket") <=> col("bucket_p"), "left")
+        .select(col("bucket"), col("n_all"),
+          coalesce(col("n_purchase"), lit(0L)).as("n_purchase"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_histogram" ->
+      """SELECT l_returnflag, CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q_corr_stats" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price,
+        |  ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov_qp
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_argmax" ->
+      """SELECT c_mktsegment, o_orderkey AS top_order, o_totalprice AS top_price
+        |FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |        ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |      FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_transitions" ->
+      """SELECT from_type, event_type AS to_type, COUNT(*) AS n
+        |FROM (SELECT event_type,
+        |        LAG(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY DATE_TRUNC('milliseconds', ts), event_id) AS from_type
+        |      FROM events)
+        |WHERE from_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "q_funnel" ->
+      """SELECT CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN t_signup < t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_view,
+        |  CAST(SUM(CASE WHEN t_signup < t_view AND t_view < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM (SELECT user_id,
+        |        MIN(CASE WHEN event_type = 'signup' THEN DATE_TRUNC('milliseconds', ts) END) AS t_signup,
+        |        MIN(CASE WHEN event_type = 'view' THEN DATE_TRUNC('milliseconds', ts) END) AS t_view,
+        |        MIN(CASE WHEN event_type = 'purchase' THEN DATE_TRUNC('milliseconds', ts) END) AS t_purchase
+        |      FROM events GROUP BY user_id)""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT user_id, event_id AS version_id,
+        |  STRFTIME(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  COALESCE(STRFTIME(vt, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,
+        |  vt IS NULL AS is_current
+        |FROM (SELECT user_id, event_id, DATE_TRUNC('milliseconds', ts) AS vf,
+        |        LEAD(DATE_TRUNC('milliseconds', ts)) OVER (PARTITION BY user_id
+        |          ORDER BY DATE_TRUNC('milliseconds', ts), event_id) AS vt
+        |      FROM events WHERE event_type = 'signup')""".stripMargin,
+
+    "q_cohort" ->
+      """WITH cohort AS (
+        |  SELECT user_id, DATE_TRUNC('week', MIN(DATE_TRUNC('milliseconds', ts))) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, DATE_TRUNC('week', DATE_TRUNC('milliseconds', ts)) AS wk
+        |  FROM events)
+        |SELECT STRFTIME(cohort_week, '%Y-%m-%d') AS cohort,
+        |  CAST(DATEDIFF('day', cohort_week, wk) / 7 AS INT) AS weeks_since,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohort c USING (user_id)
+        |WHERE wk >= cohort_week GROUP BY 1, 2""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  LEVENSHTEIN(a.p_name, b.p_name) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        |WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 2""".stripMargin,
+
+    "q_dedup_norm" ->
+      """SELECT MD5(norm) AS fp, COUNT(*) AS n, MIN(doc_id) AS canonical,
+        |  STRING_AGG(doc_id, ',' ORDER BY doc_id) AS members
+        |FROM (SELECT doc_id,
+        |        ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))), ' ') AS norm
+        |      FROM documents)
+        |GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+
+    "q_containment" ->
+      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |         LIST_DISTINCT([ARRAY_TO_STRING(ts[i:i+2], ' ') FOR i IN RANGE(1, LEN(ts)-1)]) AS s
+        |       FROM d WHERE LEN(ts) >= 3)
+        |SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+        |  ROUND(LEN(LIST_INTERSECT(a.s, b.s)) * 1.0 / LEN(a.s), 3) AS containment
+        |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |WHERE LEN(LIST_INTERSECT(a.s, b.s)) * 1.0 / LEN(a.s) >= 0.9""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH base AS (
+        |  SELECT DATE_TRUNC('minute', ts) AS minute,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |spine AS (
+        |  SELECT UNNEST(GENERATE_SERIES(
+        |    (SELECT MIN(minute) FROM base), (SELECT MAX(minute) FROM base),
+        |    INTERVAL 1 MINUTE)) AS minute)
+        |SELECT STRFTIME(s.minute, '%Y-%m-%d %H:%M:%S') AS m,
+        |  b.v IS NULL AS was_gap,
+        |  LAST_VALUE(b.v IGNORE NULLS) OVER (ORDER BY s.minute
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM spine s LEFT JOIN base b ON s.minute = b.minute""".stripMargin,
+
+    "q_entropy" ->
+      """WITH toks AS (
+        |  SELECT source, tok, COUNT(*) AS n FROM (
+        |    SELECT source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+        |    FROM documents) GROUP BY 1, 2)
+        |SELECT source,
+        |  ROUND(LOG2(SUM(n)) - SUM(n * LOG2(n)) / SUM(n), 3) AS entropy_bits,
+        |  COUNT(*) AS vocab
+        |FROM toks GROUP BY source""".stripMargin,
+
+    "q_mad" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, QUANTILE_CONT(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, ROUND(ANY_VALUE(m.med), 3) AS median_price,
+        |  ROUND(QUANTILE_CONT(ABS(l.l_extendedprice - m.med), 0.5), 3) AS mad_price
+        |FROM lineitem l JOIN med m USING (l_returnflag)
+        |GROUP BY l.l_returnflag""".stripMargin,
+
+    "q_join_nullsafe" ->
+      """WITH e AS (SELECT event_type,
+        |    NULLIF(CAST(REGEXP_EXTRACT(props, '"k":\s*(\d+)', 1) AS INT) % 10, 0) AS bucket
+        |  FROM events),
+        |a AS (SELECT bucket, COUNT(*) AS n_all FROM e GROUP BY 1),
+        |p AS (SELECT bucket, COUNT(*) AS n_purchase FROM e
+        |      WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT a.bucket, a.n_all, COALESCE(p.n_purchase, 0) AS n_purchase
+        |FROM a LEFT JOIN p ON a.bucket IS NOT DISTINCT FROM p.bucket""".stripMargin
+  )
+}

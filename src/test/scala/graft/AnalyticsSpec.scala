@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant + plan-shape tests for the Analytics module (histogram, stats,
+  * arg-max, sequence analysis, SCD2, fuzzy match, normalized dedup).
+  * Value-level correctness is the DuckDB oracle's job; these assert the
+  * internal consistency properties and the at-scale plan shapes. */
+class AnalyticsSpec extends SparkSuite {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("funnel stages are monotonically non-increasing") {
+    val r = q("q_funnel").collect().head
+    val (s, sv, f) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(s >= sv && sv >= f, s"funnel not monotone: $s $sv $f")
+    assert(s > 0, "no signups in fixture")
+  }
+
+  test("transitions conserve events: sum(n) = events - users-with-events") {
+    val total = q("q_transitions").agg(sum("n")).collect().head.getLong(0)
+    val ev = Tables.events(spark, sfDir)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    // each user contributes (events_u - 1) transitions
+    assert(total == nEvents - nUsers, s"$total != $nEvents - $nUsers")
+  }
+
+  test("scd2 history: exactly one current version per user, no overlap") {
+    val h = q("q_scd2").cache()
+    try {
+      val perUser = h.groupBy("user_id")
+        .agg(sum(when(col("is_current"), 1).otherwise(0)).as("cur"))
+      assert(perUser.filter(col("cur") =!= 1).count() == 0,
+        "every user must have exactly one open version")
+      // versions chain: each non-current valid_to equals some valid_from
+      val dangling = h.filter(!col("is_current"))
+        .join(h.select(col("user_id").as("u2"), col("valid_from").as("vf2")),
+          col("user_id") === col("u2") && col("valid_to") === col("vf2"),
+          "left_anti")
+      assert(dangling.count() == 0, "closed version with no successor")
+    } finally h.unpersist()
+  }
+
+  test("fuzzy join emits only in-block pairs within distance 2") {
+    val rows = q("q_fuzzy_join").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("key_a") < r.getAs[Long]("key_b"))
+      assert(r.getAs[Int]("dist") <= 2)
+    }
+  }
+
+  test("normalized dedup groups list their canonical member first") {
+    q("q_dedup_norm").collect().foreach { r =>
+      val members = r.getAs[String]("members").split(",").map(_.toLong)
+      assert(members.length == r.getAs[Long]("n"))
+      assert(members.min == r.getAs[Long]("canonical"))
+      assert(members.sorted.sameElements(members), "members must be sorted")
+    }
+  }
+
+  test("argmax: broadcast dim join, partial+final agg, one exchange") {
+    val p = q("q_argmax").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    // max_by over a struct carries a struct buffer -> SortAggregate
+    // (partial+final); the fact still shuffles exactly once, on the group key
+    assert(p.contains("SortAggregate") || p.contains("HashAggregate"), p)
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected one shuffle exchange:\n$p")
+  }
+
+  test("containment is a superset of symmetric jaccard pairs (directed)") {
+    val jac = q("q_dedup_minhash").select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    val cont = q("q_containment").select("inner_doc", "outer_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // J >= t implies I/|A| >= t for both directions
+    assert(jac.subsetOf(cont),
+      s"missing directed pairs: ${(jac -- cont).take(5)}")
+  }
+
+  test("gap fill: dense contiguous spine, forward-filled values") {
+    val rows = q("q_gap_fill").collect()
+    assert(rows.nonEmpty)
+    val ms = rows.map(_.getAs[String]("m")).sorted
+    assert(ms.distinct.length == ms.length, "duplicate spine minutes")
+    // after the first observed value nothing is null
+    rows.sortBy(_.getAs[String]("m")).dropWhile(_.isNullAt(2))
+      .foreach(r => assert(!r.isNullAt(2), "hole after first fill"))
+    assert(rows.exists(_.getAs[Boolean]("was_gap")), "fixture should have gaps")
+  }
+
+  test("entropy is positive and bounded by log2(vocab)") {
+    q("q_entropy").collect().foreach { r =>
+      val h = r.getAs[Double]("entropy_bits")
+      val vocab = r.getAs[Long]("vocab")
+      assert(h > 0 && h <= math.log(vocab.toDouble) / math.log(2.0) + 1e-9,
+        s"entropy $h out of range for vocab $vocab")
+    }
+  }
+
+  test("MAD is positive and at most the max|x-median| spread") {
+    q("q_mad").collect().foreach { r =>
+      assert(r.getAs[Double]("mad_price") > 0)
+      assert(r.getAs[Double]("median_price") > 0)
+    }
+  }
+
+  test("null-safe join matches NULL buckets to each other") {
+    val r = q("q_join_nullsafe").filter(col("bucket").isNull).collect()
+    assert(r.length == 1, "expected exactly one NULL bucket row")
+    assert(r.head.getAs[Long]("n_purchase") > 0,
+      "NULL bucket must have joined purchase counts (null-safe semantics)")
+  }
+}
