@@ -226,6 +226,38 @@ object Analytics {
             .as("mad_price"))
     }),
 
+    // ---- sequence packing: concat corpus in doc order, chunk into
+    // fixed-token training examples. example_id = which 4096-token chunk
+    // a doc's FIRST token lands in — the concat-and-chunk step of LLM
+    // pre-training data prep. The global token offset is the distributed
+    // Prefix scan (no single-partition window over the data). ------------
+    "q_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.operators.Prefix.runningSum(docs,
+          bucket = (col("doc_id") / lit(500)).cast("long"),
+          order = Seq(col("doc_id")),
+          value = col("n_tokens"),
+          out = "cum")
+        .select(col("doc_id"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / 4096).cast("long")
+            .as("example_id"))
+    }),
+
+    // ---- deterministic 3-way train/val/test assignment -----------------
+    // Salted-hash prefix ranges (~80/10/10): map-side, reproducible, and
+    // engine-portable — the same assignment falls out of any system that
+    // computes md5, so train/val membership survives a platform change.
+    "q_split_assign" -> ((s, d) => {
+      val h = substring(
+        md5(concat(col("doc_id").cast("string"), lit("split-s0"))), 1, 2)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(h < "cd", "train").when(h < "e7", "val").otherwise("test")
+            .as("split"))
+    }),
+
     // ---- null-safe join (<=>): NULL keys are real join partners ----------
     // (the normalized-field compare every CDC/upsert pipeline needs)
     "q_join_nullsafe" -> ((s, d) => {
@@ -364,6 +396,23 @@ object Analytics {
         |  ROUND(QUANTILE_CONT(ABS(l.l_extendedprice - m.med), 0.5), 3) AS mad_price
         |FROM lineitem l JOIN med m USING (l_returnflag)
         |GROUP BY l.l_returnflag""".stripMargin,
+
+    "q_pack" ->
+      """SELECT doc_id, n_tokens,
+        |  CAST(FLOOR((cum - n_tokens) / 4096.0) AS BIGINT) AS example_id
+        |FROM (SELECT doc_id, n_tokens,
+        |        SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM (SELECT doc_id,
+        |              CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        |            FROM documents))""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN SUBSTRING(MD5(CONCAT(CAST(doc_id AS VARCHAR), 'split-s0')), 1, 2) < 'cd' THEN 'train'
+        |       WHEN SUBSTRING(MD5(CONCAT(CAST(doc_id AS VARCHAR), 'split-s0')), 1, 2) < 'e7' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "q_join_nullsafe" ->
       """WITH e AS (SELECT event_type,

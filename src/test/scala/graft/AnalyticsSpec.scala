@@ -108,6 +108,31 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("packing: example ids are contiguous and token-bounded") {
+    val rows = q("q_pack").collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val maxEx = rows.map(_.getAs[Long]("example_id")).max
+    // last example id must match total token count / window
+    assert(maxEx <= total / 4096, s"example id $maxEx beyond corpus $total")
+    // example_id is non-decreasing in doc order and gapless
+    val ids = rows.map(_.getAs[Long]("example_id"))
+    ids.sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a, "example ids must be non-decreasing in doc order")
+    }
+    // no plan-level SinglePartition over the full data: the prefix scan
+    // distributes via buckets (Prefix contract, asserted in PrefixSpec)
+  }
+
+  test("split assignment is total, deterministic, and ~80/10/10") {
+    val counts = q("q_split_assign").groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > total * 7 / 10, s"train share too low: $counts")
+    assert(counts("val") < total / 5 && counts("test") < total / 5, counts)
+  }
+
   test("null-safe join matches NULL buckets to each other") {
     val r = q("q_join_nullsafe").filter(col("bucket").isNull).collect()
     assert(r.length == 1, "expected exactly one NULL bucket row")
