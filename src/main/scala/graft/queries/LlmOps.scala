@@ -258,10 +258,21 @@ object LlmOps {
         .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
       val corpus = fp.filter(col("doc_id") % 5 =!= 0)
       val batch = fp.filter(col("doc_id") % 5 === 0)
-      val bf = corpus.stat.bloomFilter("fp", expectedNumItems = 100000L,
-        fpp = 0.01)
-      val bfB = s.sparkContext.broadcast(bf)
-      val mightContain = udf((x: String) => bfB.value.mightContainString(x))
+      // a bloom aggregated over ZERO rows comes back with null bits and
+      // NPEs (the empty-increment run every scheduled pipeline hits); an
+      // unusable filter means "nothing is in the corpus", for which
+      // mightContain ≡ false is exact, not approximate
+      val bfOpt = scala.util.Try {
+        val b = corpus.stat.bloomFilter("fp", expectedNumItems = 100000L,
+          fpp = 0.01)
+        b.mightContainString("probe"); b
+      }.toOption
+      val mightContain = bfOpt match {
+        case Some(bf) =>
+          val bfB = s.sparkContext.broadcast(bf)
+          udf((x: String) => bfB.value.mightContainString(x))
+        case None => udf((_: String) => false)
+      }
       batch.filter(!mightContain(col("fp")))
         .select(col("doc_id"), col("fp"))
         .union(

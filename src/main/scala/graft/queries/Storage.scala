@@ -28,8 +28,9 @@ object Storage {
     // partition column eliminates whole directories at planning time
     "q_part_prune" -> ((s, d) => {
       val path = s"${scratch(d)}/orders_by_status"
-      Layout.writePartitioned(Tables.orders(s, d), path, "o_orderstatus")
-      s.read.parquet(path)
+      val orders = Tables.orders(s, d)
+      Layout.writePartitioned(orders, path, "o_orderstatus")
+      Layout.readPartitioned(s, path, orders.schema)
         .filter(col("o_orderstatus") === "F")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
@@ -58,7 +59,8 @@ object Storage {
     "q_dpp" -> ((s, d) => {
       import s.implicits._
       val path = s"${scratch(d)}/orders_by_prio"
-      Layout.writePartitioned(Tables.orders(s, d), path, "o_orderpriority")
+      val orders = Tables.orders(s, d)
+      Layout.writePartitioned(orders, path, "o_orderpriority")
       // the dim must be a FILE source: a filter over an in-memory
       // LocalRelation constant-folds away before the PartitionPruning
       // rule looks for a selective predicate, and no DPP is inserted
@@ -66,7 +68,7 @@ object Storage {
       Seq(("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "warm"),
         ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold")).toDF("prio", "tier")
         .write.mode("overwrite").parquet(dimPath)
-      s.read.parquet(path)
+      Layout.readPartitioned(s, path, orders.schema)
         .join(s.read.parquet(dimPath).filter(col("tier") === "hot"),
           col("o_orderpriority") === col("prio"))
         .groupBy(col("o_orderpriority"))

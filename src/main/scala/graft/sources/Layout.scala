@@ -27,6 +27,17 @@ object Layout {
                        partitionCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Read a [[writePartitioned]] layout with an explicit schema. A
+    * partitioned write of ZERO rows produces no files at all (there is
+    * no directory to hang a schema on), so a schema-inferring read
+    * throws UNABLE_TO_INFER_SCHEMA — the empty-increment run every
+    * scheduled pipeline eventually hits. Passing the writer's schema
+    * keeps the read total; partition pruning on dir names still applies
+    * (PartitionFilters are orthogonal to how the schema was obtained). */
+  def readPartitioned(spark: SparkSession, path: String,
+                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
   /** Small-file compaction: rewrite `inPath` as ~`targetFileBytes`-sized
     * files. Long-running ingest (streaming micro-batches, per-task MOF
     * output — the reference keeps one file per map task,

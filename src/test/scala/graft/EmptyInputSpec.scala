@@ -1,0 +1,35 @@
+package graft
+
+/** Every query must execute (not throw) on an EMPTY corpus with the
+  * fixture schemas — the incremental-pipeline edge case (a scheduled run
+  * where no new data arrived) that surfaces first()/head-on-empty,
+  * null aggregate bounds, and schema-less empty writes at 100 TB scale.
+  * Row counts are free to be zero; crashing is the bug. */
+class EmptyInputSpec extends SparkSuite {
+
+  private lazy val emptyDir: String = {
+    val dir = "/tmp/graft_empty_fixtures"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.all.foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("all queries run to completion on an empty corpus") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          fn(spark, emptyDir).write.format("noop").mode("overwrite").save()
+          None
+        } catch {
+          case e: Throwable =>
+            Some(s"$name: ${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries fail on empty input:\n${failures.mkString("\n")}")
+  }
+}
