@@ -258,6 +258,56 @@ object Analytics {
             .as("split"))
     }),
 
+    // ---- data-quality constraint report: the expectations gate a
+    // pipeline runs before promoting a batch. Each constraint is one
+    // declarative aggregate or anti-join; output = violation counts
+    // (0 = constraint holds). One row per constraint → trivially
+    // mergeable across table shards at any scale. ------------------------
+    "q_constraints" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val docs = Tables.documents(s, d)
+      val nullKeys = li.filter(col("l_orderkey").isNull)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("lineitem.l_orderkey NOT NULL").as("constraint"),
+          col("violations"))
+      val nonNeg = li.filter(col("l_extendedprice") < 0)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("lineitem.l_extendedprice >= 0").as("constraint"),
+          col("violations"))
+      val fk = li.join(ord.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("lineitem.l_orderkey IN orders").as("constraint"),
+          col("violations"))
+      val charRange = docs.filter(length(col("text")) =!= col("n_chars"))
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("documents.n_chars = len(text)").as("constraint"),
+          col("violations"))
+      nullKeys.union(nonNeg).union(fk).union(charRange)
+    }),
+
+    // ---- winsorization: clip a metric at its group p05/p95 before
+    // averaging — the outlier-robust normalization step for quality
+    // scores/feature columns. Exact grouped percentiles broadcast back;
+    // the fact scans twice but never shuffles rows, only the clipped
+    // aggregate. -----------------------------------------------------------
+    "q_winsorize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val bounds = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
+          expr("percentile(l_extendedprice, 0.95)").as("hi"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .withColumn("w", greatest(least(col("l_extendedprice"), col("hi")),
+          col("lo")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("w").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("avg_winsorized"),
+          round(sum(when(col("l_extendedprice") =!= col("w"), 1L)
+            .otherwise(0L)) / count(lit(1)), 4).as("clipped_share"))
+    }),
+
     // ---- null-safe join (<=>): NULL keys are real join partners ----------
     // (the normalized-field compare every CDC/upsert pipeline needs)
     "q_join_nullsafe" -> ((s, d) => {
@@ -413,6 +463,35 @@ object Analytics {
         |       WHEN SUBSTRING(MD5(CONCAT(CAST(doc_id AS VARCHAR), 'split-s0')), 1, 2) < 'e7' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    "q_constraints" ->
+      """SELECT 'lineitem.l_orderkey NOT NULL' AS constraint, COUNT(*) AS violations
+        |FROM lineitem WHERE l_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'lineitem.l_extendedprice >= 0', COUNT(*)
+        |FROM lineitem WHERE l_extendedprice < 0
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey IN orders', COUNT(*)
+        |FROM lineitem l WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'documents.n_chars = len(text)', COUNT(*)
+        |FROM documents WHERE LEN(text) <> n_chars""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH bounds AS (
+        |  SELECT l_returnflag,
+        |    QUANTILE_CONT(l_extendedprice, 0.05) AS lo,
+        |    QUANTILE_CONT(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, COUNT(*) AS n,
+        |  ROUND(CAST(AVG(CAST(GREATEST(LEAST(l.l_extendedprice, b.hi), b.lo)
+        |    AS DECIMAL(18,2))) AS DOUBLE), 2) AS avg_winsorized,
+        |  ROUND(CAST(SUM(CASE WHEN l.l_extendedprice <>
+        |      GREATEST(LEAST(l.l_extendedprice, b.hi), b.lo)
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS clipped_share
+        |FROM lineitem l JOIN bounds b USING (l_returnflag)
+        |GROUP BY l.l_returnflag""".stripMargin,
 
     "q_join_nullsafe" ->
       """WITH e AS (SELECT event_type,

@@ -133,6 +133,20 @@ class AnalyticsSpec extends SparkSuite {
     assert(counts("val") < total / 5 && counts("test") < total / 5, counts)
   }
 
+  test("constraint report: one row per constraint, non-negative counts") {
+    val rows = q("q_constraints").collect()
+    assert(rows.length == 4)
+    rows.foreach(r => assert(r.getAs[Long]("violations") >= 0))
+  }
+
+  test("winsorized mean clips ~10% of rows and stays within raw bounds") {
+    q("q_winsorize").collect().foreach { r =>
+      val share = r.getAs[Double]("clipped_share")
+      assert(share > 0 && share <= 0.11, s"p05/p95 clip share: $share")
+      assert(r.getAs[Double]("avg_winsorized") > 0)
+    }
+  }
+
   test("null-safe join matches NULL buckets to each other") {
     val r = q("q_join_nullsafe").filter(col("bucket").isNull).collect()
     assert(r.length == 1, "expected exactly one NULL bucket row")
