@@ -42,7 +42,11 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Register every fixture table as a temp view (for spark.sql queries). */
+  /** Register every fixture table as a temp view (for spark.sql queries).
+    * `events` must go through [[events]] (nanos-as-long handling). */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach {
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case n        => table(spark, dir, n).createOrReplaceTempView(n)
+    }
 }

@@ -308,6 +308,22 @@ object Analytics {
             .otherwise(0L)) / count(lit(1)), 4).as("clipped_share"))
     }),
 
+    // ---- SQL front door: the same engine surface through spark.sql over
+    // registered views, with an explicit BROADCAST hint — proving a SQL-
+    // only user gets the identical (broadcast-dim, fact-shuffles-once)
+    // plan the DataFrame API queries assert. --------------------------------
+    "q_sql_front" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT /*+ BROADCAST(c), BROADCAST(n) */
+          n.n_name, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name""")
+    }),
+
     // ---- null-safe join (<=>): NULL keys are real join partners ----------
     // (the normalized-field compare every CDC/upsert pipeline needs)
     "q_join_nullsafe" -> ((s, d) => {
@@ -492,6 +508,14 @@ object Analytics {
         |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS clipped_share
         |FROM lineitem l JOIN bounds b USING (l_returnflag)
         |GROUP BY l.l_returnflag""".stripMargin,
+
+    "q_sql_front" ->
+      """SELECT n.n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name""".stripMargin,
 
     "q_join_nullsafe" ->
       """WITH e AS (SELECT event_type,

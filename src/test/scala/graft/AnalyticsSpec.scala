@@ -147,6 +147,25 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("SQL front door honors broadcast hints: both dims broadcast") {
+    val p = q("q_sql_front").queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), s"fact must never sort-merge:\n$p")
+  }
+
+  test("cached dimension is served from InMemoryRelation on reuse") {
+    val dim = Tables.nation(spark, sfDir)
+    dim.cache()
+    try {
+      dim.count() // materialize
+      val cust = Tables.customer(spark, sfDir)
+      val joined = cust.join(dim, cust("c_nationkey") === dim("n_nationkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert("(?i)inmemory|tablecache".r.findFirstIn(p).isDefined,
+        s"reuse must hit the cache:\n$p")
+    } finally dim.unpersist()
+  }
+
   test("null-safe join matches NULL buckets to each other") {
     val r = q("q_join_nullsafe").filter(col("bucket").isNull).collect()
     assert(r.length == 1, "expected exactly one NULL bucket row")
