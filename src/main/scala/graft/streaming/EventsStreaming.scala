@@ -124,6 +124,48 @@ object EventsStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** foreachBatch → batch MERGE: the streaming CDC-apply pattern. Each
+    * micro-batch is upserted into a parquet target with the batch
+    * engine's [[graft.operators.Upsert.merge]] (latest row per key
+    * wins within the batch first, so replays are idempotent). This is
+    * the bridge every production pipeline needs between a stream and a
+    * queryable table when the sink has no native MERGE: foreachBatch
+    * hands the micro-batch to arbitrary BATCH code while the streaming
+    * engine still tracks offsets/commits in the checkpoint. */
+  def toUpsertSink(updates: DataFrame, targetPath: String,
+                   checkpoint: String, keys: Seq[String],
+                   orderCol: String): StreamingQuery =
+    updates.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val latest = {
+          // latest row per key within the batch (a batch can carry
+          // several updates for one key; MERGE wants one)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*)
+            .orderBy(col(orderCol).desc)
+          batch.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+        }
+        val target = try s.read.parquet(targetPath)
+          catch { case _: Throwable => latest.limit(0) }
+        val merged = graft.operators.Upsert
+          .merge(target, latest.select(target.columns.map(col).toIndexedSeq: _*),
+            keys)
+        // write via temp + swap: the sink read its own output as target
+        val tmp = targetPath + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val conf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(targetPath).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(targetPath), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(targetPath))
+        ()
+      }
+      .start()
+
   /** Flat-map variant emitting one record per closed session (append
     * mode compatible): demonstrates flatMapGroupsWithState. */
   def perUserEventCounts(spark: SparkSession,

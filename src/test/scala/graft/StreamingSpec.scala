@@ -80,6 +80,27 @@ class StreamingSpec extends SparkSuite {
     assert(ids == Seq(1L, 2L, 3L), s"got $ids")
   }
 
+  test("foreachBatch upsert sink: stream of updates MERGEs into a table") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val (out, cp) = (s"$dir/tbl", s"$dir/cp")
+    val in = MemoryStream[EventRow]
+    val q = EventsStreaming.toUpsertSink(in.toDF(), out, cp,
+      keys = Seq("user_id"), orderCol = "event_id")
+    // batch 1: two users
+    in.addData(ev(1, 5, user = 10, v = 1.0), ev(2, 6, user = 20, v = 2.0))
+    q.processAllAvailable()
+    // batch 2: update user 10 (two updates in one batch — later id wins),
+    // insert user 30
+    in.addData(ev(3, 7, user = 10, v = 5.0), ev(4, 8, user = 10, v = 7.0),
+      ev(5, 9, user = 30, v = 3.0))
+    q.processAllAvailable(); q.stop()
+    val state = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    assert(state == Map(10L -> 7.0, 20L -> 2.0, 30L -> 3.0),
+      s"merged state wrong: $state")
+  }
+
   test("checkpointed file sink restarts exactly-once with recovered state") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
