@@ -8,9 +8,12 @@ import graft.Tables
 import graft.dedup.Dedup
 
 /** Analytical / data-science operators over the fixture tables: statistical
-  * aggregates, histograms, arg-max, event-sequence analysis (transitions,
-  * funnel, cohort retention), SCD2 history build, fuzzy (edit-distance)
-  * matching, normalized-text dedup, and null-safe joins.
+  * aggregates (corr/covar/stddev, MAD, entropy, winsorized means),
+  * histograms, arg-max, event-sequence analysis (transitions, funnel,
+  * cohort retention, SCD2 history, time-spine gap fill), fuzzy
+  * (edit-distance) and containment matching, normalized dedup, sequence
+  * packing + train/val/test splits, data-quality constraint reports,
+  * null-safe joins, and the spark.sql front door.
   *
   * These are the report/feature-engineering layer a training-data pipeline
   * runs on top of the relational substrate (reference: UDA provides only the
