@@ -98,16 +98,47 @@ object Ann {
     * [[lshTopK]]: (qid, nid, cell) ids through every exchange, vectors
     * re-attached by broadcast joins afterward.
     */
+  /** Lloyd (k-means) refinement of IVF centroids, fully declarative:
+    * assign each corpus vector to its nearest centroid map-side
+    * ([[graft.expressions.TopCentroids]] — no shuffle to index), then
+    * recompute each cell's mean by position (posexplode → partial+final
+    * avg per (cell, dim) → re-assemble in dim order). Only the nCells×dim
+    * centroid table ever reaches the driver — once per iteration, the
+    * same deliberate round-trip the search path already makes. Empty
+    * cells keep their previous centroid. Deterministic: averages of the
+    * same assignment sets, ids nowhere tie-broken by floats. */
+  def refineCentroids(corpus: DataFrame, vecCol: String,
+                      init: Seq[Seq[Double]], iterations: Int): Seq[Seq[Double]] = {
+    import graft.expressions.TopCentroidsExpression.topCentroids
+    var cents = init
+    for (_ <- 1 to iterations) {
+      val means = corpus
+        .select(col(vecCol).as("v"),
+          element_at(topCentroids(col(vecCol), cents, 1), 1).as("cell"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"), expr("transform(dm, p -> p.m)").as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
               idCol: String, vecCol: String, k: Int, dim: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 4,
+              kmeansIters: Int = 2): DataFrame = {
     import graft.expressions.TopCentroidsExpression.topCentroids
     val q = queries.select(col(idCol).as("qid"),
       VectorFunctions.asDouble(col(vecCol)).as("qv"))
     val c = candidates.select(col(idCol).as("nid"),
       VectorFunctions.asDouble(col(vecCol)).as("cv"))
-    val cents: Seq[Seq[Double]] = c.orderBy(col("nid")).limit(nCells)
+    val seeds: Seq[Seq[Double]] = c.orderBy(col("nid")).limit(nCells)
       .select(col("cv")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val cents = refineCentroids(c.select(col("cv")), "cv", seeds, kmeansIters)
     val cellsC = c.select(col("nid"),
       element_at(topCentroids(col("cv"), cents, 1), 1).as("cell"))
     val probes = q.select(col("qid"),
