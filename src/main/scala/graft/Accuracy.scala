@@ -101,9 +101,11 @@ object Accuracy {
         hllErr <= 0.05),
       Check("q_approx_topk", "count_multiset_diff_vs_exact", topkDiff, 0.0,
         topkDiff == 0.0),
-      Check("q_ann_lsh", "topk_recall_vs_brute_force", recall, 0.5, recall >= 0.5),
-      Check("q_ann_ivf", "topk_recall_vs_brute_force", ivfRecall, 0.5,
-        ivfRecall >= 0.5),
+      // measured 0.96 / 0.92 at sf0.01 (k-means-refined IVF); 0.7 keeps
+      // headroom for fixture variance while catching real regressions
+      Check("q_ann_lsh", "topk_recall_vs_brute_force", recall, 0.7, recall >= 0.7),
+      Check("q_ann_ivf", "topk_recall_vs_brute_force", ivfRecall, 0.7,
+        ivfRecall >= 0.7),
       Check("q_approx_distinct", "max_rel_error_vs_exact", err, 0.05, err <= 0.05),
       Check("q_dedup_simhash", "pairs_diff_vs_all_pairs", diff.toDouble, 0.0, diff == 0))
   }

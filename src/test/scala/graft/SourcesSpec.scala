@@ -82,6 +82,32 @@ class SourcesSpec extends SparkSuite {
       plan.contains("PartitionFilters: [isnotnull(o_orderstatus"))
   }
 
+  test("PERMISSIVE json ingest captures corrupt records instead of failing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_badrec").toString
+    Seq("""{"k": 1, "v": "ok"}""", """{"k": 2 "v": MALFORMED""",
+      """{"k": 3, "v": "fine"}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val schema = "k INT, v STRING, _corrupt STRING"
+    val parsed = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir)
+      .cache() // corrupt-record column must not be the only column queried
+    try {
+      assert(parsed.filter(col("_corrupt").isNotNull).count() == 1,
+        "exactly the malformed line is quarantined")
+      assert(parsed.filter(col("_corrupt").isNull).count() == 2,
+        "good rows parse")
+      // FAILFAST on the same input throws — the promote-or-die variant
+      intercept[Exception] {
+        spark.read.schema("k INT, v STRING").option("mode", "FAILFAST")
+          .json(dir).collect()
+      }
+    } finally parsed.unpersist()
+  }
+
   test("bucketed write on join key: join runs with no exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val dir = Files.createTempDirectory("graft_bucket").toString
