@@ -131,10 +131,19 @@ object EventsStreaming {
     * the bridge every production pipeline needs between a stream and a
     * queryable table when the sink has no native MERGE: foreachBatch
     * hands the micro-batch to arbitrary BATCH code while the streaming
-    * engine still tracks offsets/commits in the checkpoint. */
+    * engine still tracks offsets/commits in the checkpoint.
+    *
+    * Scale design: the target is hive-partitioned on `_kb =
+    * hash(keys) % nBuckets`, and a batch rewrites ONLY the bucket
+    * directories its keys hash into — both the target read (partition-
+    * pruned) and the rewrite are proportional to the update's key
+    * spread, never to table size. Buckets swap in atomically
+    * (write-to-temp + directory rename), so a reader never sees a
+    * half-written bucket and the self-read/overwrite conflict never
+    * arises. */
   def toUpsertSink(updates: DataFrame, targetPath: String,
                    checkpoint: String, keys: Seq[String],
-                   orderCol: String): StreamingQuery =
+                   orderCol: String, nBuckets: Int = 64): StreamingQuery =
     updates.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -148,20 +157,33 @@ object EventsStreaming {
             .orderBy(col(orderCol).desc)
           batch.withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_rn")
+            .withColumn("_kb", pmod(hash(keys.map(col): _*), lit(nBuckets)))
         }
-        val target = try s.read.parquet(targetPath)
-          catch { case _: Throwable => latest.limit(0) }
+        val buckets = latest.select(col("_kb")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        val conf = s.sparkContext.hadoopConfiguration
+        val targetP = new org.apache.hadoop.fs.Path(targetPath)
+        val fs = targetP.getFileSystem(conf)
+        val target =
+          if (fs.exists(targetP))
+            s.read.schema(latest.schema).parquet(targetPath)
+              .filter(col("_kb").isin(buckets.map(Integer.valueOf): _*))
+          else latest.limit(0)
         val merged = graft.operators.Upsert
           .merge(target, latest.select(target.columns.map(col).toIndexedSeq: _*),
             keys)
-        // write via temp + swap: the sink read its own output as target
-        val tmp = targetPath + "_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val conf = s.sparkContext.hadoopConfiguration
-        val fs = new org.apache.hadoop.fs.Path(targetPath).getFileSystem(conf)
-        fs.delete(new org.apache.hadoop.fs.Path(targetPath), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(targetPath))
+        val tmp = new org.apache.hadoop.fs.Path(targetPath + "_tmp")
+        merged.write.mode("overwrite").partitionBy("_kb").parquet(tmp.toString)
+        fs.mkdirs(targetP)
+        buckets.foreach { b =>
+          val src = new org.apache.hadoop.fs.Path(tmp, s"_kb=$b")
+          val dst = new org.apache.hadoop.fs.Path(targetP, s"_kb=$b")
+          if (fs.exists(src)) {
+            fs.delete(dst, true)
+            fs.rename(src, dst)
+          }
+        }
+        fs.delete(tmp, true)
         ()
       }
       .start()

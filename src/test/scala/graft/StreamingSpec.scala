@@ -80,16 +80,21 @@ class StreamingSpec extends SparkSuite {
     assert(ids == Seq(1L, 2L, 3L), s"got $ids")
   }
 
-  test("foreachBatch upsert sink: stream of updates MERGEs into a table") {
+  test("foreachBatch upsert sink: partition-scoped MERGE into a table") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val (out, cp) = (s"$dir/tbl", s"$dir/cp")
     val in = MemoryStream[EventRow]
     val q = EventsStreaming.toUpsertSink(in.toDF(), out, cp,
-      keys = Seq("user_id"), orderCol = "event_id")
+      keys = Seq("user_id"), orderCol = "event_id", nBuckets = 64)
     // batch 1: two users
     in.addData(ev(1, 5, user = 10, v = 1.0), ev(2, 6, user = 20, v = 2.0))
     q.processAllAvailable()
+    import org.apache.spark.sql.functions.input_file_name
+    def fileOf(user: Long): String = spark.read.parquet(out)
+      .filter($"user_id" === user)
+      .select(input_file_name()).head().getString(0)
+    val user20FileBefore = fileOf(20L)
     // batch 2: update user 10 (two updates in one batch — later id wins),
     // insert user 30
     in.addData(ev(3, 7, user = 10, v = 5.0), ev(4, 8, user = 10, v = 7.0),
@@ -99,6 +104,20 @@ class StreamingSpec extends SparkSuite {
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
     assert(state == Map(10L -> 7.0, 20L -> 2.0, 30L -> 3.0),
       s"merged state wrong: $state")
+    // partition-scoped rewrite: user 20's bucket was not touched by a
+    // batch whose keys (10, 30) hash elsewhere — its data file survives
+    // byte-for-byte (skip the assertion in the unlucky hash-collision
+    // case, which would legitimately rewrite it)
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    val collides = spark.range(1).select(
+      pmod(hash(lit(20L)), lit(64)).as("b20"),
+      pmod(hash(lit(10L)), lit(64)).as("b10"),
+      pmod(hash(lit(30L)), lit(64)).as("b30")).head()
+    if (collides.getInt(0) != collides.getInt(1) &&
+        collides.getInt(0) != collides.getInt(2)) {
+      assert(fileOf(20L) == user20FileBefore,
+        "untouched bucket must not be rewritten")
+    }
   }
 
   test("checkpointed file sink restarts exactly-once with recovered state") {
