@@ -70,4 +70,58 @@ class KVSpec extends SparkSuite {
       .map { case (k, vs) => k -> vs.map(_._2).min }
     assert(firstOnly == expectFirst)
   }
+
+  // FIXTURES.md §A edge cases: empty keys/values, degenerate merges
+  // (reference: single-segment and num_maps < num_lpqs,
+  // src/Merger/MergeManager.cc:242), and byte-wise binary keys
+  // (BytesWritable / terasort's 10-byte keys, CompareFunc.cc:70-91).
+
+  test("empty keys and values are ordinary records, sorted first") {
+    val kvs = Seq(("", "v-empty-key"), ("a", ""), ("", ""), ("b", "x"))
+    val got = KV.globalSorted(spark.createDataset(kvs)).collect().toSeq
+    // key order is total; order WITHIN a key tie is unspecified
+    assert(got.map(_._1) == kvs.map(_._1).sorted, s"key order wrong: $got")
+    assert(got.groupBy(identity) == kvs.groupBy(identity),
+      s"empty strings mishandled: $got")
+  }
+
+  test("degenerate merges: more partitions than rows, and n=1") {
+    val kvs = Seq((3, "c"), (1, "a"), (2, "b"))
+    // num_maps < num_lpqs analog: 64 target partitions, 3 rows
+    val wide = KV.mergeSorted(spark.createDataset(kvs), 64)
+    assert(wide.collect().sorted.toSeq == kvs.sorted)
+    // single-segment analog: everything through one partition
+    val one = KV.mergeSorted(spark.createDataset(kvs), 1)
+    val run = one.rdd.glom().collect().filter(_.nonEmpty)
+    assert(run.length == 1 && run.head.map(_._1).toSeq == Seq(1, 2, 3))
+  }
+
+  test("binary keys sort byte-wise (terasort 10-byte-key analog)") {
+    val rnd = new scala.util.Random(13)
+    val kvs = Seq.fill(300)(
+      (Array.fill(10)((rnd.nextInt(256) - 128).toByte), rnd.nextInt(100)))
+    val got = KV.globalSorted(spark.createDataset(kvs)).collect()
+    // Spark's BinaryType ordering is UNSIGNED lexicographic — the same
+    // byte_compare contract as the reference (CompareFunc.cc:70-91)
+    val cmp = new Ordering[Array[Byte]] {
+      def compare(a: Array[Byte], b: Array[Byte]): Int = {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+          if (d != 0) return d
+          i += 1
+        }
+        a.length - b.length
+      }
+    }
+    val gotKeys = got.map(_._1).toSeq
+    assert(gotKeys.zip(gotKeys.drop(1)).forall { case (a, b) =>
+      cmp.compare(a, b) <= 0 }, "binary keys not in unsigned byte order")
+    // multiset preserved (TeraValidate's permutation half)
+    assert(got.map { case (k, v) => (k.toSeq, v) }.sorted(
+        Ordering.by((t: (Seq[Byte], Int)) => (t._1.map(b => b & 0xFF).mkString(","), t._2))).toSeq ==
+      kvs.map { case (k, v) => (k.toSeq, v) }.sorted(
+        Ordering.by((t: (Seq[Byte], Int)) => (t._1.map(b => b & 0xFF).mkString(","), t._2))).toSeq)
+  }
 }
