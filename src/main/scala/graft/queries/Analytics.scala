@@ -195,6 +195,64 @@ object Analytics {
           col("v").isNull.as("was_gap"), col("filled"))
     }),
 
+    // ---- keyed gap fill: the scalable form of q_gap_fill — every window
+    // and spine is PARTITIONED by the series key, so no single-partition
+    // stage exists at all; series count × history length bounds the spine.
+    "q_gap_fill_keyed" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
+      val spine = base.groupBy(col("event_type"))
+        .agg(min(col("minute")).as("lo"), max(col("minute")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 minute")))
+            .as("minute"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(base, Seq("event_type", "minute"), "left")
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("event_type"),
+          date_format(col("minute"), "yyyy-MM-dd HH:mm:ss").as("m"),
+          col("v").isNull.as("was_gap"), col("filled"))
+    }),
+
+    // ---- hapax ratio: share of the vocabulary seen exactly once — the
+    // classic corpus-health metric (high hapax share ⇒ noisy/OCR text,
+    // low ⇒ templated/duplicated text). Two partial+final aggregates. ----
+    "q_hapax" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"))
+        .withColumn("hapax_ratio", round(col("hapax") / col("vocab"), 4))),
+
+    // ---- cross-source shingle overlap matrix: which corpus slices share
+    // content (mirror sites, syndication, benchmark leakage between
+    // sources). Distinct (source, 5-gram) inverted index → self-join on
+    // the gram → pair counts; grams are the join key so only sources
+    // sharing a gram ever pair (the q_contamination machinery lifted to
+    // source granularity). -----------------------------------------------
+    "q_source_overlap" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.text.TextFunctions.shingles(col("text"), 5)).as("g"))
+        .distinct()
+      val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      val withSz = grams.join(broadcast(sizes), "source")
+      withSz.select(col("g"), col("source").as("src_a"), col("sz").as("sz_a"))
+        .join(withSz.select(col("g"), col("source").as("src_b"),
+          col("sz").as("sz_b")), "g")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("shared_grams"),
+          first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
+        .select(col("src_a"), col("src_b"), col("shared_grams"),
+          round(col("shared_grams") / least(col("sz_a"), col("sz_b")), 4)
+            .as("overlap"))
+    }),
+
     // ---- token-distribution Shannon entropy per source --------------------
     // H = log2(N) - Σ n·log2(n) / N over token counts: two aggregation
     // levels, both partial+final; the token space never leaves the shuffle
@@ -446,6 +504,49 @@ object Analytics {
         |  LAST_VALUE(b.v IGNORE NULLS) OVER (ORDER BY s.minute
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM spine s LEFT JOIN base b ON s.minute = b.minute""".stripMargin,
+
+    "q_gap_fill_keyed" ->
+      """WITH base AS (
+        |  SELECT event_type, DATE_TRUNC('minute', ts) AS minute,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type,
+        |    UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 MINUTE)) AS minute
+        |  FROM (SELECT event_type, MIN(minute) AS lo, MAX(minute) AS hi
+        |        FROM base GROUP BY 1))
+        |SELECT s.event_type, STRFTIME(s.minute, '%Y-%m-%d %H:%M:%S') AS m,
+        |  b.v IS NULL AS was_gap,
+        |  LAST_VALUE(b.v IGNORE NULLS) OVER (PARTITION BY s.event_type
+        |    ORDER BY s.minute
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM spine s LEFT JOIN base b
+        |  ON s.event_type = b.event_type AND s.minute = b.minute""".stripMargin,
+
+    "q_hapax" ->
+      """WITH toks AS (
+        |  SELECT source, tok, COUNT(*) AS n FROM (
+        |    SELECT source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+        |    FROM documents) GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS vocab,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS hapax_ratio
+        |FROM toks GROUP BY source""".stripMargin,
+
+    "q_source_overlap" ->
+      """WITH d AS (SELECT source, STRING_SPLIT(text, ' ') AS ts FROM documents),
+        |g AS (SELECT DISTINCT source, g FROM (
+        |  SELECT source,
+        |    UNNEST([ARRAY_TO_STRING(ts[i:i+4], ' ') FOR i IN RANGE(1, LEN(ts)-3)]) AS g
+        |  FROM d WHERE LEN(ts) >= 5)),
+        |sz AS (SELECT source, COUNT(*) AS sz FROM g GROUP BY 1)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  COUNT(*) AS shared_grams,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / LEAST(MIN(sa.sz), MIN(sb.sz)), 4) AS overlap
+        |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        |JOIN sz sa ON sa.source = a.source
+        |JOIN sz sb ON sb.source = b.source
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_entropy" ->
       """WITH toks AS (

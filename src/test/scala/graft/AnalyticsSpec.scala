@@ -166,6 +166,32 @@ class AnalyticsSpec extends SparkSuite {
     } finally dim.unpersist()
   }
 
+  test("keyed gap fill plans only partitioned windows") {
+    val plan = q("q_gap_fill_keyed").queryExecution.executedPlan.toString
+    // the per-key spine kills the single-partition stage the global
+    // variant documents: every Window here has a partition spec
+    assert(!plan.contains("SinglePartition"),
+      s"keyed gap fill must not funnel through one partition:\n$plan")
+  }
+
+  test("hapax ratio is a share of the vocabulary") {
+    q("q_hapax").collect().foreach { r =>
+      val ratio = r.getAs[Double]("hapax_ratio")
+      assert(ratio >= 0 && ratio <= 1)
+      assert(r.getAs[Long]("hapax") <= r.getAs[Long]("vocab"))
+    }
+  }
+
+  test("source overlap is symmetric-ordered and bounded by 1") {
+    val rows = q("q_source_overlap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      val ov = r.getAs[Double]("overlap")
+      assert(ov > 0 && ov <= 1, s"overlap out of range: $ov")
+    }
+  }
+
   test("null-safe join matches NULL buckets to each other") {
     val r = q("q_join_nullsafe").filter(col("bucket").isNull).collect()
     assert(r.length == 1, "expected exactly one NULL bucket row")
