@@ -34,6 +34,19 @@ object Accuracy {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfRecall = (brute & ivf).size.toDouble / brute.size
 
+    // q_ann_lsh_big: the all-shuffled (no-broadcast) LSH path on a LARGE
+    // query set — same banding as lshTopK, so recall vs brute force is
+    // the gate; the plan shape (no BroadcastExchange) is asserted in
+    // AnnSpec
+    val qBig = e.filter(col("vec_id") % 5 === 0)
+    val bruteBig = Ann.bruteForceTopK(qBig, e, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshBig = Ann.lshTopKShuffled(qBig, e, "vec_id", "embedding", 5, dim = 64)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallBig = (bruteBig & lshBig).size.toDouble / bruteBig.size
+
     // q_approx_distinct: HLL++ (rsd=0.02) vs exact distinct counts
     val li = Tables.lineitem(spark, d)
     val approx = li.agg(
@@ -106,6 +119,8 @@ object Accuracy {
       Check("q_ann_lsh", "topk_recall_vs_brute_force", recall, 0.7, recall >= 0.7),
       Check("q_ann_ivf", "topk_recall_vs_brute_force", ivfRecall, 0.7,
         ivfRecall >= 0.7),
+      Check("q_ann_lsh_big", "topk_recall_vs_brute_force", recallBig, 0.7,
+        recallBig >= 0.7),
       Check("q_approx_distinct", "max_rel_error_vs_exact", err, 0.05, err <= 0.05),
       Check("q_dedup_simhash", "pairs_diff_vs_all_pairs", diff.toDouble, 0.0, diff == 0))
   }

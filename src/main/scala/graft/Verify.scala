@@ -50,6 +50,20 @@ object Verify {
       val acc = graft.Accuracy.checks(spark, sfDir)
       Files.writeString(Paths.get(s"$outDir/accuracy.json"),
         graft.Accuracy.toJson(acc))
+      // persist per round next to CORRECTNESS_r<N>.json so the no-oracle
+      // greens are part of the committed round record, not just /tmp
+      try {
+        val repo = Paths.get(sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo"))
+        val re = "CORRECTNESS_r(\\d+)\\.json".r
+        val prior = Option(repo.toFile.list()).getOrElse(Array.empty)
+          .collect { case re(n) => n.toInt }
+        val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
+          .getOrElse(if (prior.isEmpty) 1 else prior.max + 1)
+        Files.writeString(repo.resolve(f"ACCURACY_r$round%02d.json"),
+          graft.Accuracy.toJson(acc))
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] could not persist round accuracy: $e")
+      }
       acc.filterNot(_.pass).foreach(c =>
         System.err.println(s"[verify] ACCURACY FAIL ${c.query}: ${c.metric}=${c.value}"))
     } catch { case e: Throwable =>

@@ -39,41 +39,46 @@ object WeightedAvgCents extends Aggregator[(Double, Double), WAvgBuf, Double] {
 object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
-    // idempotent: repeated registration (every q_udf/q_udaf invocation)
-    // would spam "replaced a previously registered function" WARNs into
-    // bench/verify logs for zero benefit.
-    if (spark.catalog.functionExists("graft_qty_band")) return
+    // idempotent PER FUNCTION: a session built with
+    // `spark.sql.extensions=graft.GraftSessionExtensions` already has
+    // graft_cosine/dot/simhash64/shingles/posexplode_shingles injected,
+    // so a whole-registry guard on one sentinel name still re-registers
+    // the injected five and spams "replaced a previously registered
+    // function" WARNs into bench/verify logs. Check each name.
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_cosine",
-      exprs => graft.expressions.CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_dot",
-      exprs => graft.expressions.DotProduct(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_simhash64",
-      exprs => graft.expressions.SimHash64(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_shingles",
-      exprs => graft.expressions.WordShingles(exprs.head, 3), "scala_udf")
+    def temp(name: String)(b: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "scala_udf")
+
+    temp("graft_cosine")(exprs => graft.expressions.CosineSimilarity(exprs(0), exprs(1)))
+    temp("graft_dot")(exprs => graft.expressions.DotProduct(exprs(0), exprs(1)))
+    temp("graft_simhash64")(exprs => graft.expressions.SimHash64(exprs.head))
+    temp("graft_shingles")(exprs => graft.expressions.WordShingles(exprs.head, 3))
     // UDTF surface: a custom Generator usable via LATERAL VIEW; the
     // shingle size must be a literal (it shapes the generator itself)
-    reg.createOrReplaceTempFunction("graft_posexplode_shingles",
-      exprs => graft.expressions.PosExplodeShingles(exprs(0),
+    temp("graft_posexplode_shingles")(exprs =>
+      graft.expressions.PosExplodeShingles(exprs(0),
         if (exprs.length > 1)
           exprs(1).eval(InternalRow.empty) match {
             case i: Int => i
             case l: Long => l.toInt
           }
-        else 3), "scala_udf")
+        else 3))
     // native Catalyst aggregate (TypedImperativeAggregate): bounded
     // k-element heap per group, partial+final like any built-in
-    reg.createOrReplaceTempFunction("graft_topk_vals",
-      exprs => graft.expressions.TopKValuesAggregate(exprs(0),
+    temp("graft_topk_vals")(exprs =>
+      graft.expressions.TopKValuesAggregate(exprs(0),
         exprs(1).eval(InternalRow.empty) match {
           case i: Int => i
           case l: Long => l.toInt
-        }), "scala_udf")
-    spark.udf.register("graft_wavg", udaf(WeightedAvgCents))
+        }))
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_wavg")))
+      spark.udf.register("graft_wavg", udaf(WeightedAvgCents))
     // scalar UDF exemplar — same banding as q_conditional but through
     // the UDF machinery, to exercise that surface deliberately
-    spark.udf.register("graft_qty_band", (q: Double) =>
-      if (q > 40) "bulk" else if (q > 10) "mid" else "small")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_qty_band")))
+      spark.udf.register("graft_qty_band", (q: Double) =>
+        if (q > 40) "bulk" else if (q > 10) "mid" else "small")
   }
 }

@@ -60,6 +60,46 @@ object Prefix {
                 out: String): DataFrame =
     runningSum(df, bucket, order, lit(1L), out)
 
+  /** Global forward fill (`last(value) ignore nulls` over `order`, no
+    * partition key) — the same two-phase scan as [[runningSum]] but with
+    * the carry being "last non-null value of any prior bucket" instead of
+    * a sum of totals. Replaces the `Window.orderBy` single-partition fill
+    * in unkeyed gap-fill: the only SinglePartition stage is over one row
+    * per bucket. `order` must be a total order within a bucket (unique
+    * keys) so the per-bucket last value is deterministic.
+    */
+  def fillForward(df: DataFrame, bucket: Column, order: Seq[Column],
+                  value: String, out: String): DataFrame = {
+    val b = df.withColumn("_gbucket", bucket)
+
+    // (2) within-bucket forward fill — scalable exchange on the bucket key.
+    val wLocal = Window.partitionBy(col("_gbucket")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = b.withColumn("_lfill",
+      last(col(value), ignoreNulls = true).over(wLocal))
+
+    // (3) per-bucket last NON-NULL value: max_by skips rows whose ordering
+    // expression is null, so null-value rows never win; a bucket that is
+    // all nulls still emits a row (with a null last) so the carry window
+    // sees every bucket. Partial+final aggregate, ~one row per bucket.
+    val lasts = b.groupBy(col("_gbucket"))
+      .agg(max_by(col(value),
+        when(col(value).isNotNull, struct(order: _*))).as("_blast"))
+
+    // (4) exclusive carry: last non-null value of any PRIOR bucket — the
+    // only SinglePartition, over #buckets rows.
+    val wOff = Window.orderBy(col("_gbucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = lasts
+      .withColumn("_bcarry", last(col("_blast"), ignoreNulls = true).over(wOff))
+      .select(col("_gbucket"), col("_bcarry"))
+
+    // (5) broadcast carries back; the bucket-local fill wins when present.
+    local.join(broadcast(carry), Seq("_gbucket"))
+      .withColumn(out, coalesce(col("_lfill"), col("_bcarry")))
+      .drop("_gbucket", "_lfill", "_bcarry")
+  }
+
   def runningSum(df: DataFrame, bucket: Column, order: Seq[Column],
                  value: Column, out: String): DataFrame = {
     val b = df.withColumn("_gbucket", bucket)

@@ -34,6 +34,28 @@ object Analytics {
     * (ns input): both floor to the millisecond. */
   private def tsm: Column = date_trunc("millisecond", col("ts"))
 
+  /** Edit-distance (<=2) self-match on `p_name`, blocked on the composite
+    * (p_size, length-band) key — see the `q_fuzzy_join` entry for the
+    * recall proof. Exposed for the bounded-block-size spec. */
+  private[graft] def fuzzyJoin(p: DataFrame): DataFrame = {
+    val bw = 8 // band width; must be > 2*maxDist so the length interval
+               // [len-2, len+2] spans at most two consecutive bands
+    val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+      col("p_size").as("size"),
+      floor(length(col("p_name")) / bw).cast("long").as("band"))
+    val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
+      col("p_size").as("size"),
+      explode(array_distinct(array(
+        floor((length(col("p_name")) - 2) / bw).cast("long"),
+        floor((length(col("p_name")) + 2) / bw).cast("long")))).as("band"))
+    a.join(b, Seq("size", "band"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
+        col("dist"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- fixed-width histogram: one scan, partial+final count per bucket --
@@ -129,24 +151,17 @@ object Analytics {
     }),
 
     // ---- fuzzy (edit-distance) match: blocked self-join ------------------
-    // Blocking key (p_size) bounds the candidate pair space — the same
-    // block-then-verify shape as the LSH dedups; at 100 TB the block key
-    // would be (size, first token) to keep blocks balanced. The join is an
-    // equi-join on the block key (no nested loop); levenshtein runs only on
-    // in-block pairs.
-    "q_fuzzy_join" -> ((s, d) => {
-      val p = Tables.part(s, d)
-      val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
-        col("p_size").as("size"))
-      val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
-        col("p_size").as("size"))
-      a.join(b, "size")
-        .filter(col("key_a") < col("key_b"))
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= 2)
-        .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
-          col("dist"))
-    }),
+    // COMPOSITE blocking key (p_size, name-length band): p_size alone gives
+    // O(n/50) rows per block and quadratic levenshtein within each — at
+    // 100x data that is 10^4x pair work. The length band is RECALL-
+    // PRESERVING by pigeonhole: dist <= 2 forces |len(a)-len(b)| <= 2, and
+    // with band = floor(len/8) the interval [len_b-2, len_b+2] spans at
+    // most two consecutive bands — side B emits both, side A emits its one
+    // exact band, so every qualifying pair meets in exactly one
+    // (size, band) block (no post-join dedup needed). The join stays an
+    // equi-join on the composite key; levenshtein runs only on in-block
+    // pairs, and block size is bounded by names-per-(size x 8-char band).
+    "q_fuzzy_join" -> ((s, d) => fuzzyJoin(Tables.part(s, d))),
 
     // ---- normalized (order-insensitive) dedup: the fingerprint is the
     // SORTED DISTINCT TOKEN SET, so casefold/reorder/repeat variants of the
@@ -171,11 +186,15 @@ object Analytics {
         shingleSize = 3, threshold = 0.9)),
 
     // ---- time-series gap fill + forward fill ------------------------------
-    // Build the dense (event_type × minute) spine with sequence()+explode
-    // (the 1-row min/max statistic broadcast back — same shape as
-    // q_quality_filter), left-join the sparse resample, forward-fill with
-    // last(ignoreNulls) over a partitioned window. The ONLY unbounded
-    // thing here is the spine length (minutes of history), never the data.
+    // Build the dense minute spine with sequence()+explode (the 1-row
+    // min/max statistic broadcast back — same shape as q_quality_filter),
+    // left-join the sparse resample, then forward-fill with the DISTRIBUTED
+    // two-phase scan (Prefix.fillForward): within-bucket fill partitioned on
+    // a 1024-minute bucket of the spine, per-bucket last-non-null carries
+    // through the only SinglePartition stage (one row per bucket), carries
+    // broadcast back. However long the history grows, no task ever sees
+    // more than one bucket of spine. (q_gap_fill_keyed is the per-series
+    // form — partitioned windows, no global scan needed at all.)
     "q_gap_fill" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val base = ev.filter(col("event_type") === "purchase")
@@ -185,12 +204,11 @@ object Analytics {
       val bounds = base.agg(min(col("minute")).as("lo"), max(col("minute")).as("hi"))
       val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
         expr("interval 1 minute"))).as("minute"))
-      val w = Window.orderBy(col("minute"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // single series => single-partition window over #minutes rows is the
-      // contract (one spine per key when partitioned by a real key column)
-      spine.join(base, Seq("minute"), "left")
-        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      graft.operators.Prefix.fillForward(
+          spine.join(base, Seq("minute"), "left"),
+          bucket = floor(col("minute").cast("long") / (60L * 1024L)).cast("long"),
+          order = Seq(col("minute")),
+          value = "v", out = "filled")
         .select(date_format(col("minute"), "yyyy-MM-dd HH:mm:ss").as("m"),
           col("v").isNull.as("was_gap"), col("filled"))
     }),

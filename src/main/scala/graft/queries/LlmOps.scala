@@ -80,6 +80,15 @@ object LlmOps {
         "vec_id", "embedding", k = 5, dim = EMBED_DIM)
     }),
 
+    // corpus-vs-corpus retrieval: every 5th vector queries the whole
+    // corpus through the all-shuffled LSH path (no broadcast anywhere —
+    // the plan a 10^9-query set needs; see Ann.lshTopKShuffled)
+    "q_ann_lsh_big" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.lshTopKShuffled(e.filter(col("vec_id") % 5 === 0), e,
+        "vec_id", "embedding", k = 5, dim = EMBED_DIM)
+    }),
+
     // Stratified deterministic sampling: downweight the dominant
     // language, keep the tail — the canonical corpus-rebalancing step.
     // Pure map-side md5 predicate, replayable by any engine.
@@ -219,9 +228,15 @@ object LlmOps {
     // For unbounded-cardinality columns swap in percentile_approx
     // (see q_approx_percentile).
     "q_quality_filter" -> ((s, d) => {
+      // the repartition is a materialization barrier: both consumers (the
+      // median aggregate and the filter) read the SAME exchange via
+      // ReuseExchange, so the HOF score expression evaluates once per doc
+      // instead of once per branch — the shuffle moves only (doc_id,
+      // quality), never the text
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
           TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+        .repartition(col("doc_id"))
       val med = docs.agg(median(col("quality")).as("med"))
       docs.crossJoin(broadcast(med))
         .filter(col("quality") >= col("med"))
@@ -260,13 +275,16 @@ object LlmOps {
       val batch = fp.filter(col("doc_id") % 5 === 0)
       // a bloom aggregated over ZERO rows comes back with null bits and
       // NPEs (the empty-increment run every scheduled pipeline hits); an
-      // unusable filter means "nothing is in the corpus", for which
-      // mightContain ≡ false is exact, not approximate
-      val bfOpt = scala.util.Try {
+      // EMPTY corpus means "nothing is in the corpus", for which
+      // mightContain ≡ false is exact, not approximate. Catch ONLY that
+      // NPE — any other build failure on a non-empty corpus must
+      // propagate, or the false-fallback would skip the exact anti-join
+      // and silently emit corpus duplicates as new.
+      val bfOpt = try {
         val b = corpus.stat.bloomFilter("fp", expectedNumItems = 100000L,
           fpp = 0.01)
-        b.mightContainString("probe"); b
-      }.toOption
+        b.mightContainString("probe"); Some(b)
+      } catch { case _: NullPointerException => None }
       val mightContain = bfOpt match {
         case Some(bf) =>
           val bfB = s.sparkContext.broadcast(bf)
@@ -611,15 +629,28 @@ object LlmOps {
         |FROM t JOIN d USING (tok), n
         |WHERE t.doc_id < 100""".stripMargin,
 
+    // the oracle PREDICTS every field the real header parse must decode:
+    // the synthesized container is deterministic in (doc_id, n_chars), so
+    // a parser that misreads any offset hash-mismatches here
     "q_multimodal" ->
       """SELECT doc_id,
-        |  CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS byte_len,
-        |  CAST(OCTET_LENGTH(ENCODE(text)) % 64 + 1 AS INT) AS width,
-        |  CAST((OCTET_LENGTH(ENCODE(text)) // 64) % 64 + 1 AS INT) AS height,
-        |  CAST(3 AS INT) AS channels,
-        |  CAST(CASE WHEN OCTET_LENGTH(ENCODE(text)) > 0
-        |    THEN ORD(SUBSTRING(text, 1, 1)) ELSE -1 END AS INT) AS first_byte,
-        |  CAST(GREATEST(1, (OCTET_LENGTH(ENCODE(text)) + 255) // 256) AS INT) AS n_frames
+        |  CAST(CASE WHEN doc_id % 11 = 3 THEN 4
+        |    WHEN doc_id % 2 = 0 THEN 54 + OCTET_LENGTH(ENCODE(text))
+        |    ELSE 44 + OCTET_LENGTH(ENCODE(text)) END AS INT) AS byte_len,
+        |  CASE WHEN doc_id % 11 = 3 THEN NULL
+        |    WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
+        |  CAST(CASE WHEN doc_id % 11 = 3 THEN NULL
+        |    WHEN doc_id % 2 = 0 THEN n_chars % 64 + 1 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 11 = 3 THEN NULL
+        |    WHEN doc_id % 2 = 0 THEN (n_chars // 64) % 64 + 1 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 11 = 3 THEN NULL
+        |    WHEN doc_id % 2 = 0 THEN 3 ELSE n_chars % 2 + 1 END AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 11 = 3 THEN ORD('B')
+        |    WHEN doc_id % 2 = 0 THEN ORD('B') ELSE ORD('R') END AS INT) AS first_byte,
+        |  CAST(CASE WHEN doc_id % 11 = 3 THEN NULL
+        |    WHEN doc_id % 2 = 0 THEN 1
+        |    ELSE OCTET_LENGTH(ENCODE(text)) // (2 * (n_chars % 2 + 1))
+        |    END AS INT) AS n_frames
         |FROM documents""".stripMargin
   )
 

@@ -105,8 +105,12 @@ object Ann {
     * avg per (cell, dim) → re-assemble in dim order). Only the nCells×dim
     * centroid table ever reaches the driver — once per iteration, the
     * same deliberate round-trip the search path already makes. Empty
-    * cells keep their previous centroid. Deterministic: averages of the
-    * same assignment sets, ids nowhere tie-broken by floats. */
+    * cells keep their previous centroid. NOT bit-deterministic: each
+    * mean is a partial+final avg() over doubles, so summation order
+    * (partitioning) can flip low-order centroid bits and borderline
+    * cell assignments between runs — downstream consumers must treat
+    * IVF results as recall-gated (as the accuracy artifact does), never
+    * hash-compared. */
   def refineCentroids(corpus: DataFrame, vecCol: String,
                       init: Seq[Seq[Double]], iterations: Int): Seq[Seq[Double]] = {
     import graft.expressions.TopCentroidsExpression.topCentroids
@@ -184,6 +188,41 @@ object Ann {
       .distinct()
     val scored = c.join(broadcast(cand), "nid")
       .join(broadcast(q), "qid")
+      .withColumn("cos_sim", VectorFunctions.cosineRounded(col("qv"), col("cv"), 3))
+      .select(col("qid"), col("nid"), col("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("cos_sim"), col("rk"))
+  }
+
+  /** SRP-LSH top-k for LARGE query sets (corpus-vs-corpus retrieval):
+    * identical banding and scoring to [[lshTopK]], but every join is a
+    * SHUFFLED hash join — when both sides are 100 TB-shaped, neither the
+    * query set nor the candidate-pair table fits in a broadcast. The
+    * band join co-partitions both sides on the band key; vectors then
+    * re-attach through hash joins keyed on the bare ids, so exchanges
+    * still carry (id, band) / (qid, nid) rows only and each side's
+    * vector payload moves at most once. The `shuffle_hash` hints pin the
+    * strategy so a small test fixture exercises the same plan the big
+    * run would get (and the plan spec can assert no BroadcastExchange).
+    */
+  def lshTopKShuffled(queries: DataFrame, candidates: DataFrame,
+                      idCol: String, vecCol: String, k: Int, dim: Int,
+                      bits: Int = 64, bands: Int = 16): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"),
+      VectorFunctions.asDouble(col(vecCol)).as("qv"))
+    val c = candidates.select(col(idCol).as("nid"),
+      VectorFunctions.asDouble(col(vecCol)).as("cv"))
+    val qb = withBandKeys(q, "qv", dim, bits, bands).select(col("qid"), col("bk"))
+    val cb = withBandKeys(c, "cv", dim, bits, bands).select(col("nid"), col("bk"))
+    val cand = qb.join(cb.hint("shuffle_hash"), "bk")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+      .distinct()
+    val scored = cand.join(c.hint("shuffle_hash"), "nid")
+      .join(q.hint("shuffle_hash"), "qid")
       .withColumn("cos_sim", VectorFunctions.cosineRounded(col("qv"), col("cv"), 3))
       .select(col("qid"), col("nid"), col("cos_sim"))
     val w = Window.partitionBy(col("qid"))

@@ -137,10 +137,23 @@ object EventsStreaming {
     * hash(keys) % nBuckets`, and a batch rewrites ONLY the bucket
     * directories its keys hash into — both the target read (partition-
     * pruned) and the rewrite are proportional to the update's key
-    * spread, never to table size. Buckets swap in atomically
-    * (write-to-temp + directory rename), so a reader never sees a
-    * half-written bucket and the self-read/overwrite conflict never
-    * arises. */
+    * spread, never to table size.
+    *
+    * Durability: buckets swap in via a backup-rename protocol — the live
+    * bucket is renamed aside (to a sibling `<target>_bak` root, outside
+    * the partition-discovery tree), the new bucket renamed in, and the
+    * backups deleted only after EVERY bucket has swapped; a failure
+    * mid-swap restores the backups, and a crash that outruns the restore
+    * is healed by the recovery sweep at the start of the next batch
+    * (checkpoint replay), which moves any orphaned backup whose live
+    * bucket is missing back into place. Rename is the only primitive
+    * used on live data, and every rename/delete return value is checked.
+    *
+    * Layout guard: nBuckets and the key order are persisted in a
+    * `_graft_bucketing` metadata file under the target on first write;
+    * a restart with a different layout fails fast instead of scattering
+    * new versions of keys across directories their stale versions don't
+    * live in. */
   def toUpsertSink(updates: DataFrame, targetPath: String,
                    checkpoint: String, keys: Seq[String],
                    orderCol: String, nBuckets: Int = 64): StreamingQuery =
@@ -148,7 +161,42 @@ object EventsStreaming {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.hadoop.fs.Path
         val s = batch.sparkSession
+        val conf = s.sparkContext.hadoopConfiguration
+        val targetP = new Path(targetPath)
+        val fs = targetP.getFileSystem(conf)
+        def checked(ok: Boolean, what: => String): Unit =
+          if (!ok) throw new java.io.IOException(s"upsert sink: $what failed")
+
+        // ---- layout guard -------------------------------------------------
+        val metaP = new Path(targetP, "_graft_bucketing")
+        val metaStr = s"nBuckets=$nBuckets\nkeys=${keys.mkString(",")}\n"
+        if (fs.exists(metaP)) {
+          val in = fs.open(metaP)
+          val existing =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          require(existing == metaStr,
+            s"bucket layout mismatch at $targetPath: target has " +
+              s"[${existing.trim.replace('\n', ' ')}], sink configured " +
+              s"[${metaStr.trim.replace('\n', ' ')}] — updates would land in " +
+              "different _kb directories than the rows they replace")
+        }
+
+        // ---- crash recovery from a previous half-finished swap -----------
+        val bakRoot = new Path(targetPath + "_bak")
+        if (fs.exists(bakRoot)) {
+          fs.listStatus(bakRoot).foreach { st =>
+            val dst = new Path(targetP, st.getPath.getName)
+            if (!fs.exists(dst)) checked(fs.rename(st.getPath, dst),
+              s"recovery rename ${st.getPath} -> $dst")
+            else checked(fs.delete(st.getPath, true),
+              s"recovery delete ${st.getPath}")
+          }
+          checked(fs.delete(bakRoot, true), s"recovery delete $bakRoot")
+        }
+
         val latest = {
           // latest row per key within the batch (a batch can carry
           // several updates for one key; MERGE wants one)
@@ -161,27 +209,50 @@ object EventsStreaming {
         }
         val buckets = latest.select(col("_kb")).distinct()
           .collect().map(_.getInt(0)).sorted
-        val conf = s.sparkContext.hadoopConfiguration
-        val targetP = new org.apache.hadoop.fs.Path(targetPath)
-        val fs = targetP.getFileSystem(conf)
         val target =
-          if (fs.exists(targetP))
+          if (fs.exists(targetP) && fs.listStatus(targetP)
+              .exists(_.getPath.getName.startsWith("_kb=")))
             s.read.schema(latest.schema).parquet(targetPath)
               .filter(col("_kb").isin(buckets.map(Integer.valueOf): _*))
           else latest.limit(0)
         val merged = graft.operators.Upsert
           .merge(target, latest.select(target.columns.map(col).toIndexedSeq: _*),
             keys)
-        val tmp = new org.apache.hadoop.fs.Path(targetPath + "_tmp")
+        val tmp = new Path(targetPath + "_tmp")
         merged.write.mode("overwrite").partitionBy("_kb").parquet(tmp.toString)
         fs.mkdirs(targetP)
-        buckets.foreach { b =>
-          val src = new org.apache.hadoop.fs.Path(tmp, s"_kb=$b")
-          val dst = new org.apache.hadoop.fs.Path(targetP, s"_kb=$b")
-          if (fs.exists(src)) {
-            fs.delete(dst, true)
-            fs.rename(src, dst)
+        if (!fs.exists(metaP)) {
+          val out = fs.create(metaP, true)
+          try out.write(metaStr.getBytes("UTF-8")) finally out.close()
+        }
+
+        // ---- backup-rename swap ------------------------------------------
+        val moved = collection.mutable.Buffer[(Path, Path)]() // (bak, dst)
+        try {
+          buckets.foreach { b =>
+            val src = new Path(tmp, s"_kb=$b")
+            val dst = new Path(targetP, s"_kb=$b")
+            val bak = new Path(bakRoot, s"_kb=$b")
+            if (fs.exists(src)) {
+              if (fs.exists(dst)) {
+                fs.mkdirs(bakRoot)
+                checked(fs.rename(dst, bak), s"rename $dst -> $bak")
+                moved += ((bak, dst))
+              }
+              checked(fs.rename(src, dst), s"rename $src -> $dst")
+            }
           }
+          // all buckets swapped — the backups are now garbage
+          if (fs.exists(bakRoot))
+            checked(fs.delete(bakRoot, true), s"delete $bakRoot")
+        } catch { case e: Throwable =>
+          moved.foreach { case (bak, dst) =>
+            if (fs.exists(bak)) {
+              fs.delete(dst, true) // dst may hold the half-swapped new bucket
+              fs.rename(bak, dst)  // best-effort restore; recovery sweep
+            }                      // finishes the job on replay
+          }
+          throw e
         }
         fs.delete(tmp, true)
         ()

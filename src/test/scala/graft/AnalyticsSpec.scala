@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.queries.Analytics
 
 /** Invariant + plan-shape tests for the Analytics module (histogram, stats,
   * arg-max, sequence analysis, SCD2, fuzzy match, normalized dedup).
@@ -49,6 +50,48 @@ class AnalyticsSpec extends SparkSuite {
       assert(r.getAs[Long]("key_a") < r.getAs[Long]("key_b"))
       assert(r.getAs[Int]("dist") <= 2)
     }
+  }
+
+  test("fuzzy join: composite block key loses no pairs and bounds blocks " +
+       "on a single-size skewed fixture") {
+    import spark.implicits._
+    // worst case for size-only blocking: EVERY row shares one p_size, with
+    // names spread over lengths 5..84 — the length band must both keep
+    // recall (pigeonhole: dist<=2 pairs differ by <=2 chars) and split the
+    // single size block into bounded pieces
+    val names = (0 until 400).map { i =>
+      val base = ("x" * (5 + (i % 80))) // lengths 5..84
+      val mutated = if (i % 3 == 0) base.dropRight(1) + "yz" else base
+      (i.toLong, mutated, 7)
+    }
+    val p = names.toDF("p_partkey", "p_name", "p_size")
+
+    val blocked = Analytics.fuzzyJoin(p)
+      .select("key_a", "key_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+      col("p_size").as("size"))
+    val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
+      col("p_size").as("size"))
+    val brute = a.join(b, "size").filter(col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .select("key_a", "key_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    assert(brute.nonEmpty, "fixture produced no fuzzy pairs")
+    assert(blocked == brute,
+      s"composite blocking changed the result: missing=${brute -- blocked} extra=${blocked -- brute}")
+
+    // block-size bound: the biggest (size, band) block must be a fraction
+    // of the single-size population the old key would have put in ONE block
+    val maxBlock = p
+      .groupBy(col("p_size"), floor(length(col("p_name")) / 8).as("band"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect().head.getLong(0)
+    assert(maxBlock <= names.size / 4,
+      s"length banding failed to split the hot size block: max block $maxBlock of ${names.size}")
   }
 
   test("normalized dedup groups list their canonical member first") {

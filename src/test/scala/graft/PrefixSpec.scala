@@ -26,6 +26,50 @@ class PrefixSpec extends SparkSuite {
       "prefix-scan result differs from single-partition window reference")
   }
 
+  test("fillForward equals the built-in unpartitioned last(ignoreNulls) window") {
+    import spark.implicits._
+    // synthetic sparse series: leading nulls (no carry available), an
+    // all-null bucket span, and null runs crossing bucket boundaries
+    val rows = (1L to 5000L).map { i =>
+      val v = if (i < 10 || (i % 7 != 0) || (i > 2000 && i < 2600))
+        None else Some(i * 1.5)
+      (i, v)
+    }
+    val df = rows.toDF("k", "v")
+    val got = graft.operators.Prefix.fillForward(df,
+        bucket = (col("k") / 500).cast("long"),
+        order = Seq(col("k")), value = "v", out = "filled")
+      .select(col("k"), col("filled"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+
+    val w = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("k"), col("filled"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+
+    assert(got.size == want.size)
+    want.foreach { case (k, v) =>
+      assert(got(k) == v, s"k=$k: expected $v got ${got(k)}") }
+  }
+
+  test("q_gap_fill: spine never passes through a SinglePartition exchange") {
+    val plan = SparkEntry.queries("q_gap_fill")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // same contract as the running-sum scan: the only SinglePartition
+    // stages are over per-bucket aggregates (one row per 1024 minutes) or
+    // the 1-row min/max bounds — never the spine itself. The spine-side
+    // fill window must be bucket-partitioned and carries broadcast back.
+    assert(plan.contains("windowspecdefinition(_gbucket"),
+      s"spine fill window not bucket-partitioned:\n$plan")
+    // an unpartitioned window over the spine would print its spec as
+    // windowspecdefinition(minute#N ASC ... (minute as the FIRST argument);
+    // the bucket-partitioned fill has _gbucket first, minute second
+    assert(!plan.contains("windowspecdefinition(minute#"),
+      s"unpartitioned window over the spine remains:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"carries not broadcast:\n$plan")
+  }
+
   test("prefix scan: fact table never passes through a SinglePartition exchange") {
     val plan = SparkEntry.queries("q_running_global")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -120,6 +120,61 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("upsert sink: layout mismatch fails fast; orphaned backups recover") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert2").toString
+    val (out, cp) = (s"$dir/tbl", s"$dir/cp")
+    val in = MemoryStream[EventRow]
+    val q = EventsStreaming.toUpsertSink(in.toDF(), out, cp,
+      keys = Seq("user_id"), orderCol = "event_id", nBuckets = 8)
+    in.addData(ev(1, 5, user = 10, v = 1.0), ev(2, 6, user = 20, v = 2.0))
+    q.processAllAvailable(); q.stop()
+
+    // restart with DIFFERENT nBuckets: the _graft_bucketing metadata must
+    // fail the batch instead of scattering keys across a second layout
+    val in2 = MemoryStream[EventRow]
+    val q2 = EventsStreaming.toUpsertSink(in2.toDF(), out, s"$dir/cp2",
+      keys = Seq("user_id"), orderCol = "event_id", nBuckets = 16)
+    in2.addData(ev(3, 7, user = 10, v = 9.0))
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(failed.getMessage.contains("bucket layout mismatch") ||
+      Option(failed.getCause).exists(_.getMessage.contains("bucket layout mismatch")))
+    // target untouched by the failed batch
+    val state0 = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    assert(state0 == Map(10L -> 1.0, 20L -> 2.0))
+
+    // simulate a crash between backup-aside and rename-in: live bucket
+    // missing, backup present — the next batch's recovery sweep must
+    // restore it before merging
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucket10 = spark.range(1).select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(
+          org.apache.spark.sql.functions.lit(10L)),
+        org.apache.spark.sql.functions.lit(8)).as("b")).head().getInt(0)
+    val live = new org.apache.hadoop.fs.Path(out, s"_kb=$bucket10")
+    val bakRoot = new org.apache.hadoop.fs.Path(out + "_bak")
+    fs.mkdirs(bakRoot)
+    assert(fs.rename(live, new org.apache.hadoop.fs.Path(bakRoot, s"_kb=$bucket10")))
+    assert(!fs.exists(live))
+
+    val in3 = MemoryStream[EventRow]
+    val q3 = EventsStreaming.toUpsertSink(in3.toDF(), out, s"$dir/cp3",
+      keys = Seq("user_id"), orderCol = "event_id", nBuckets = 8)
+    in3.addData(ev(4, 8, user = 10, v = 4.0))
+    q3.processAllAvailable(); q3.stop()
+    val state = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    assert(state == Map(10L -> 4.0, 20L -> 2.0),
+      s"recovery sweep lost pre-crash rows: $state")
+    assert(!fs.exists(bakRoot), "backup root must be cleaned up")
+  }
+
   test("checkpointed file sink restarts exactly-once with recovered state") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
