@@ -197,6 +197,43 @@ object Ann {
       .select(col("qid"), col("nid"), col("cos_sim"), col("rk"))
   }
 
+  /** IVF top-k for LARGE query sets — the cell-probe analog of
+    * [[lshTopKShuffled]]: cell assignment stays a map-side projection
+    * (the centroid table is tiny and lives inside the expression), but
+    * candidate generation and vector re-attachment are SHUFFLED hash
+    * joins keyed on (cell) and (qid/nid) — no broadcast of the
+    * candidate-pair table or the query side. */
+  def ivfTopKShuffled(queries: DataFrame, candidates: DataFrame,
+                      idCol: String, vecCol: String, k: Int, dim: Int,
+                      nCells: Int = 16, nProbe: Int = 4,
+                      kmeansIters: Int = 2): DataFrame = {
+    import graft.expressions.TopCentroidsExpression.topCentroids
+    val q = queries.select(col(idCol).as("qid"),
+      VectorFunctions.asDouble(col(vecCol)).as("qv"))
+    val c = candidates.select(col(idCol).as("nid"),
+      VectorFunctions.asDouble(col(vecCol)).as("cv"))
+    val seeds: Seq[Seq[Double]] = c.orderBy(col("nid")).limit(nCells)
+      .select(col("cv")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val cents = refineCentroids(c.select(col("cv")), "cv", seeds, kmeansIters)
+    val cellsC = c.select(col("nid"),
+      element_at(topCentroids(col("cv"), cents, 1), 1).as("cell"))
+    val probes = q.select(col("qid"),
+      explode(topCentroids(col("qv"), cents, nProbe)).as("cell"))
+    val cand = probes.join(cellsC.hint("shuffle_hash"), "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+      .distinct()
+    val scored = cand.join(c.hint("shuffle_hash"), "nid")
+      .join(q.hint("shuffle_hash"), "qid")
+      .withColumn("cos_sim", VectorFunctions.cosineRounded(col("qv"), col("cv"), 3))
+      .select(col("qid"), col("nid"), col("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("cos_sim"), col("rk"))
+  }
+
   /** SRP-LSH top-k for LARGE query sets (corpus-vs-corpus retrieval):
     * identical banding and scoring to [[lshTopK]], but every join is a
     * SHUFFLED hash join — when both sides are 100 TB-shaped, neither the

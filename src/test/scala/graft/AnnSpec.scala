@@ -76,6 +76,20 @@ class AnnSpec extends SparkSuite {
       s"shuffled ANN variant must not broadcast either side:\n$plan")
   }
 
+  test("shuffled IVF (large query set): recall holds and NOTHING broadcasts") {
+    val qBig = emb.filter(col("vec_id") % 5 === 0)
+    val brute = Ann.bruteForceTopK(qBig, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val df = Ann.ivfTopKShuffled(qBig, emb, "vec_id", "embedding", 5, dim = 64)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low") // 16 cells, 4 probes
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange") &&
+           !plan.contains("BroadcastHashJoin"),
+      s"shuffled IVF variant must not broadcast either side:\n$plan")
+  }
+
   test("SRP signatures are deterministic across runs") {
     val s1 = Ann.srpSignature(col("embedding"), 64)
     val a = emb.limit(20).select(col("vec_id"), s1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
