@@ -234,6 +234,48 @@ object Analytics {
           col("v").isNull.as("was_gap"), col("filled"))
     }),
 
+    // ---- keyed linear interpolation: the other half of gap filling ------
+    // Forward fill repeats the last anchor; interpolation draws the line
+    // between the surrounding anchors — the resampling step for numeric
+    // series (sensor/metric data) where a held value would bias sums.
+    // Anchors come from two frames of the SAME partitioned window sort
+    // (backward last-non-null, forward first-non-null), so the plan is
+    // one exchange + one sort per side; the arithmetic is row-local.
+    // Ends extrapolate flat (no anchor on one side → the other anchor).
+    "q_interp" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
+      val spine = base.groupBy(col("event_type"))
+        .agg(min(col("minute")).as("lo"), max(col("minute")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 minute")))
+            .as("minute"))
+      val wB = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val t = col("minute").cast("long")
+      spine.join(base, Seq("event_type", "minute"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wB))
+        .withColumn("pt", last(when(col("v").isNotNull, t), ignoreNulls = true).over(wB))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wF))
+        .withColumn("nt", first(when(col("v").isNotNull, t), ignoreNulls = true).over(wF))
+        .select(col("event_type"),
+          date_format(col("minute"), "yyyy-MM-dd HH:mm:ss").as("m"),
+          col("v").isNull.as("was_gap"),
+          // floor(x*1000 + 0.5)/1000 instead of round(): the interpolated
+          // double is bit-identical in both engines (same IEEE op order
+          // over exact-cents anchors and integer seconds), but round()'s
+          // tie behavior at the .0005 boundary is not — floor is
+          { val e = when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNull, col("nv"))
+              .when(col("nv").isNull, col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                (t - col("pt")) / (col("nt") - col("pt")))
+            (floor(e * lit(1000) + lit(0.5)) / lit(1000)).as("interp") })
+    }),
+
     // ---- hapax ratio: share of the vocabulary seen exactly once — the
     // classic corpus-health metric (high hapax share ⇒ noisy/OCR text,
     // low ⇒ templated/duplicated text). Two partial+final aggregates. ----
@@ -540,6 +582,41 @@ object Analytics {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM spine s LEFT JOIN base b
         |  ON s.event_type = b.event_type AND s.minute = b.minute""".stripMargin,
+
+    "q_interp" ->
+      """WITH base AS (
+        |  SELECT event_type, DATE_TRUNC('minute', ts) AS minute,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type,
+        |    UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 MINUTE)) AS minute
+        |  FROM (SELECT event_type, MIN(minute) AS lo, MAX(minute) AS hi
+        |        FROM base GROUP BY 1)),
+        |j AS (
+        |  SELECT s.event_type, s.minute, b.v,
+        |    CAST(EPOCH(s.minute) AS BIGINT) AS t,
+        |    LAST_VALUE(b.v IGNORE NULLS) OVER wb AS pv,
+        |    LAST_VALUE(CASE WHEN b.v IS NOT NULL
+        |      THEN CAST(EPOCH(s.minute) AS BIGINT) END IGNORE NULLS) OVER wb AS pt,
+        |    FIRST_VALUE(b.v IGNORE NULLS) OVER wf AS nv,
+        |    FIRST_VALUE(CASE WHEN b.v IS NOT NULL
+        |      THEN CAST(EPOCH(s.minute) AS BIGINT) END IGNORE NULLS) OVER wf AS nt
+        |  FROM spine s LEFT JOIN base b
+        |    ON s.event_type = b.event_type AND s.minute = b.minute
+        |  WINDOW
+        |    wb AS (PARTITION BY s.event_type ORDER BY s.minute
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY s.event_type ORDER BY s.minute
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, STRFTIME(minute, '%Y-%m-%d %H:%M:%S') AS m,
+        |  v IS NULL AS was_gap,
+        |  FLOOR((CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END) * 1000 + 0.5) / 1000
+        |    AS interp
+        |FROM j""".stripMargin,
 
     "q_hapax" ->
       """WITH toks AS (

@@ -119,6 +119,35 @@ object LlmOps {
         TextFunctions.distinctTokenCount(col("text")).as("n_distinct"),
         TextFunctions.subwordCount(col("text")).as("n_subwords"))),
 
+    // Repetition scoring (the Gopher/C4-style templated-text signal):
+    // duplicate-bigram share (1 - distinct/total) and the share of the
+    // single most repeated bigram, per doc. Unlike the quality HOFs this
+    // needs occurrence COUNTS, so bigrams explode into two partial+final
+    // aggregates keyed on (doc_id, bigram) then doc_id — the hapax shape
+    // at document granularity; nothing bigger than (id, gram, count)
+    // shuffles. max/sum/count are integer-exact, shares rounded at the end.
+    "q_repetition" -> ((s, d) => {
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      val bigrams = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ts) - 1), i -> concat(ts[i-1], ' ', ts[i]))"))
+          .as("bg"))
+      bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("total"), count(lit(1)).as("distinct_bg"),
+          max(col("n")).as("top_n"))
+        .select(col("doc_id"),
+          col("total").as("n_bigrams"),
+          // floor(x*1e4+0.5)/1e4, not round(): n/total ratios land exactly
+          // on .xxxx5 (1/32 = 0.03125) where the engines' tie rules differ
+          (floor((lit(1.0) - col("distinct_bg") / col("total")) * lit(10000)
+            + lit(0.5)) / lit(10000)).as("dup_share"),
+          (floor(col("top_n") / col("total") * lit(10000) + lit(0.5))
+            / lit(10000)).as("top_share"))
+    }),
+
     "q_text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -488,6 +517,21 @@ object LlmOps {
         |    THEN ORD(SUBSTRING(text, fi * 256 + 1, 1)) ELSE -1 END AS INT)
         |    AS first_byte
         |FROM f""".stripMargin,
+
+    "q_repetition" ->
+      """WITH d AS (SELECT doc_id,
+        |             LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS ts
+        |           FROM documents),
+        |bg AS (SELECT doc_id,
+        |         UNNEST([ts[i] || ' ' || ts[i+1] FOR i IN RANGE(1, LEN(ts))]) AS bg
+        |       FROM d WHERE LEN(ts) >= 2),
+        |c AS (SELECT doc_id, bg, COUNT(*) AS n FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |  FLOOR((1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(n)) * 10000 + 0.5) / 10000
+        |    AS dup_share,
+        |  FLOOR(CAST(MAX(n) AS DOUBLE) / SUM(n) * 10000 + 0.5) / 10000
+        |    AS top_share
+        |FROM c GROUP BY doc_id""".stripMargin,
 
     "q_text_chunks" ->
       """WITH d AS (SELECT doc_id,
