@@ -238,10 +238,14 @@ object Analytics {
     // Forward fill repeats the last anchor; interpolation draws the line
     // between the surrounding anchors — the resampling step for numeric
     // series (sensor/metric data) where a held value would bias sums.
-    // Anchors come from two frames of the SAME partitioned window sort
-    // (backward last-non-null, forward first-non-null), so the plan is
-    // one exchange + one sort per side; the arithmetic is row-local.
-    // Ends extrapolate flat (no anchor on one side → the other anchor).
+    // Anchors: backward last-non-null over an ascending running frame,
+    // and forward next-non-null over a DESCENDING running frame — never
+    // a [current, unbounded following] frame, which WindowExec evaluates
+    // by recomputing the aggregate per row (O(n^2) per partition: the
+    // ascending-frame form measured 0.6 s where the following-frame form
+    // ground for 350 s at sf0.1). Both windows share one hash exchange
+    // on the series key; the arithmetic is row-local. Ends extrapolate
+    // flat (no anchor on one side → the other anchor).
     "q_interp" -> ((s, d) => {
       val base = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
@@ -253,14 +257,16 @@ object Analytics {
             .as("minute"))
       val wB = Window.partitionBy(col("event_type")).orderBy(col("minute"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wF = Window.partitionBy(col("event_type")).orderBy(col("minute"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // descending order + running frame ≡ "first non-null at or after
+      // the current row" in ascending time, at O(n) instead of O(n^2)
+      val wF = Window.partitionBy(col("event_type")).orderBy(col("minute").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val t = col("minute").cast("long")
       spine.join(base, Seq("event_type", "minute"), "left")
         .withColumn("pv", last(col("v"), ignoreNulls = true).over(wB))
         .withColumn("pt", last(when(col("v").isNotNull, t), ignoreNulls = true).over(wB))
-        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wF))
-        .withColumn("nt", first(when(col("v").isNotNull, t), ignoreNulls = true).over(wF))
+        .withColumn("nv", last(col("v"), ignoreNulls = true).over(wF))
+        .withColumn("nt", last(when(col("v").isNotNull, t), ignoreNulls = true).over(wF))
         .select(col("event_type"),
           date_format(col("minute"), "yyyy-MM-dd HH:mm:ss").as("m"),
           col("v").isNull.as("was_gap"),

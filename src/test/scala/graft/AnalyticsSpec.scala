@@ -94,6 +94,17 @@ class AnalyticsSpec extends SparkSuite {
       s"length banding failed to split the hot size block: max block $maxBlock of ${names.size}")
   }
 
+  test("interp windows use running frames only (no O(n^2) following frame)") {
+    val plan = q("q_interp").queryExecution.executedPlan.toString
+    // a [current, unbounded following] frame makes WindowExec recompute
+    // the aggregate per row — 350 s vs 0.6 s at sf0.1; the forward anchor
+    // must come from the descending-order running frame instead
+    assert(!plan.toLowerCase.contains("unboundedfollowing"),
+      s"q_interp regressed to an unbounded-following frame:\n$plan")
+    assert(plan.contains("windowspecdefinition(event_type"),
+      s"interp windows must be partitioned by the series key:\n$plan")
+  }
+
   test("normalized dedup groups list their canonical member first") {
     q("q_dedup_norm").collect().foreach { r =>
       val members = r.getAs[String]("members").split(",").map(_.toLong)
