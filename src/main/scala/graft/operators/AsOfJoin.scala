@@ -59,8 +59,12 @@ object AsOfJoin {
     * row's timestamp (the "next event" lookup — e.g. first response
     * following a request). Same single-shuffle envelope, mirrored: left
     * sorts BEFORE right at equal ts (side 0 < 1 with left=0 here) so
-    * `>=` is inclusive, and the window looks forward with
-    * `first(ignoreNulls)` over (currentRow, unboundedFollowing). */
+    * `>=` is inclusive. The forward lookup runs over a DESCENDING-order
+    * window with a running [unbounded preceding, current] frame —
+    * `last(ignoreNulls)` of the reversed sequence IS the next match —
+    * because a [current, unbounded following] frame makes WindowExec
+    * recompute the aggregate per row: O(group²), the q_interp lesson.
+    * Harmless on small per-key groups, a straggler factory on a hot key. */
   def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
                   leftTs: String, rightTs: String,
                   rightPayload: Seq[String],
@@ -83,11 +87,11 @@ object AsOfJoin {
         lit(null).cast(lType).as("__l"), rStruct.as("__r")): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"), col("__tb"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__ts").desc, col("__side").desc, col("__tb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l2.unionByName(r2)
-      .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 0)
       .select(col("__l.*"), col("__match"))
   }
