@@ -225,14 +225,45 @@ object Dedup {
                      numSigs: Int = 4): DataFrame = {
     val e = emb.select(col(idCol).as("id"),
       VectorFunctions.asDouble(col(vecCol)).as("v"))
-    val banded = Ann.withBandKeys(e, "v", dim, bits, bands, numSigs)
-      .select(col("id"), col("bk"))
-    val cand = banded.select(col("bk"), col("id").as("a"))
-      .join(banded.select(col("bk"), col("id").as("b")), "bk")
+
+    // Signature-collapse skew hardening (the minhash `gk` design, ported):
+    // a dup-heavy corpus puts m identical vectors into EVERY one of the
+    // numSigs×bands buckets, and banding ids directly would generate
+    // 256·m² candidate rows before the distinct. Instead ids collapse to
+    // one representative per full-signature tuple; within-group pairs are
+    // emitted directly (m² once, the true output size), and only the reps
+    // band — band keys are a pure function of the signature, so members
+    // share their group's bands exactly and no candidate is lost. Every
+    // candidate is still verified with the exact rounded cosine.
+    val sigs = Ann.withSignatures(e, "v", dim, bits, numSigs)
+      .withColumn("gk", xxhash64((0 until numSigs).map(s => col(s"__sig$s")): _*))
+    val members = sigs.select(col("id"), col("gk"))
+    val groupAggs = min(col("id")).as("rep") +:
+      (0 until numSigs).map(s => min(col(s"__sig$s")).as(s"__sig$s"))
+    val groups = sigs.groupBy(col("gk")).agg(groupAggs.head, groupAggs.tail: _*)
+
+    val within = members.select(col("gk"), col("id").as("a"))
+      .join(members.select(col("gk"), col("id").as("b")), "gk")
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
+
+    val bandedReps = Ann.explodeBands(groups.drop("gk"), numSigs, bits, bands)
+      .select(col("rep"), col("bk"))
+    val repPairs = bandedReps.select(col("bk"), col("rep").as("ra"))
+      .join(bandedReps.select(col("bk"), col("rep").as("rb")), "bk")
+      .filter(col("ra") < col("rb"))
+      .select(col("ra"), col("rb"))
       .distinct()
-    cand
+    val memRep = members
+      .join(groups.select(col("gk"), col("rep")), "gk")
+      .select(col("id"), col("rep"))
+    val cross = repPairs
+      .join(memRep.select(col("rep").as("ra"), col("id").as("ia")), "ra")
+      .join(memRep.select(col("rep").as("rb"), col("id").as("ib")), "rb")
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"))
+
+    within.union(cross)
       .join(e.select(col("id").as("a"), col("v").as("va")), "a")
       .join(e.select(col("id").as("b"), col("v").as("vb")), "b")
       .withColumn("cos", VectorFunctions.cosineRounded(col("va"), col("vb"), 3))

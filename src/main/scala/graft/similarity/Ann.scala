@@ -48,21 +48,36 @@ object Ann {
     * miss probability is (1 − p^(bits/bands))^b — e.g. τ=0.4, 4-bit
     * bands, b=64 → (1 − 0.631⁴)⁶⁴ ≈ 1.6e-5.
     */
-  private[graft] def withBandKeys(df: DataFrame, vecCol: String, dim: Int,
-                                  bits: Int, bands: Int, numSigs: Int = 1,
-                                  baseSeed: Long = 42L): DataFrame = {
-    val width = bits / bands
-    val mask = (1L << width) - 1
+  /** Attach the `numSigs` signature columns (`__sig0..`) without
+    * exploding bands — callers that collapse identical-signature groups
+    * first (Dedup.embeddingPairs) band the group representatives only. */
+  private[graft] def withSignatures(df: DataFrame, vecCol: String, dim: Int,
+                                    bits: Int, numSigs: Int,
+                                    baseSeed: Long = 42L): DataFrame = {
     val sigCols = (0 until numSigs).map(s =>
       srpSignature(col(vecCol), dim, bits, baseSeed + s).as(s"__sig$s"))
-    val withSigs = df.select(col("*") +: sigCols: _*)
+    df.select(col("*") +: sigCols: _*)
+  }
+
+  /** Explode a row per (band, key) slice of the attached `__sigN`
+    * columns; band keys are a pure function of the signatures, so every
+    * member of an identical-signature group gets identical band keys. */
+  private[graft] def explodeBands(df: DataFrame, numSigs: Int, bits: Int,
+                                  bands: Int): DataFrame = {
+    val width = bits / bands
+    val mask = (1L << width) - 1
     val bandStructs = for { s <- 0 until numSigs; c <- 0 until bands } yield
       struct(lit(s * bands + c).as("band"),
         shiftright(col(s"__sig$s"), c * width).bitwiseAND(lit(mask)).as("key"))
-    withSigs
-      .withColumn("bk", explode(array(bandStructs: _*)))
+    df.withColumn("bk", explode(array(bandStructs: _*)))
       .drop((0 until numSigs).map(s => s"__sig$s"): _*)
   }
+
+  private[graft] def withBandKeys(df: DataFrame, vecCol: String, dim: Int,
+                                  bits: Int, bands: Int, numSigs: Int = 1,
+                                  baseSeed: Long = 42L): DataFrame =
+    explodeBands(withSignatures(df, vecCol, dim, bits, numSigs, baseSeed),
+      numSigs, bits, bands)
 
   /** Exact top-k neighbors for each query row, ranked by cosine rounded
     * to 3 decimals with id tie-break (fully deterministic). */

@@ -76,6 +76,17 @@ class AnnSpec extends SparkSuite {
       s"shuffled ANN variant must not broadcast either side:\n$plan")
   }
 
+  test("shuffled LSH is row-identical to broadcast LSH (same banding)") {
+    // the two variants differ ONLY in physical join strategy; same
+    // signatures → same candidates → same scores → identical output
+    val qBig = emb.filter(col("vec_id") % 5 === 0)
+    val a = Ann.lshTopK(qBig, emb, "vec_id", "embedding", 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val b = Ann.lshTopKShuffled(qBig, emb, "vec_id", "embedding", 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(a == b, s"variants diverge: only-bcast=${a -- b} only-shuffled=${b -- a}")
+  }
+
   test("shuffled IVF (large query set): recall holds and NOTHING broadcasts") {
     val qBig = emb.filter(col("vec_id") % 5 === 0)
     val brute = Ann.bruteForceTopK(qBig, emb, "vec_id", "embedding", 5)

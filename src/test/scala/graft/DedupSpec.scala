@@ -58,6 +58,24 @@ class DedupSpec extends SparkSuite {
     assert(got.forall { case (a, b, c) => a < b && c >= 0.4 })
   }
 
+  test("embedding near-dup survives a duplicate-heavy corpus (signature collapse)") {
+    import spark.implicits._
+    // 1000 copies of one vector + 3 of another: banding ids directly would
+    // put all 1000 into every one of the 256 buckets (256·10^6 candidate
+    // rows); the signature collapse bands one rep per distinct signature
+    // while the output still contains every duplicate pair exactly once.
+    val n = 1000
+    val va = (0 until 64).map(i => math.sin(i + 1).toFloat).toArray
+    val vb = (0 until 64).map(i => math.cos(i + 1).toFloat).toArray
+    val rows = (0L until n).map(i => (i, va)) ++
+      (n.toLong until n + 3).map(i => (i, vb))
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(emb, "vec_id", "embedding",
+      threshold = 0.9, dim = 64)
+    assert(pairs.count() == n.toLong * (n - 1) / 2 + 3)
+    assert(pairs.filter(col("cos_sim") < 1.0).count() == 0)
+  }
+
   test("minhash survives a duplicate-heavy corpus (signature collapse)") {
     import spark.implicits._
     // 1000 copies of one doc + 3 copies of another: the banding join must
