@@ -567,9 +567,12 @@ object Relational {
     "q_topk_vals" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_tv")
+      // try_element_at: a group with fewer than k values yields NULL for
+      // the missing ranks (matching the oracle's MAX(CASE WHEN rk=n...)),
+      // instead of INVALID_ARRAY_INDEX on a degenerate corpus
       s.sql("""SELECT l_returnflag,
-              |  element_at(t, 1) AS t1, element_at(t, 2) AS t2,
-              |  element_at(t, 3) AS t3
+              |  try_element_at(t, 1) AS t1, try_element_at(t, 2) AS t2,
+              |  try_element_at(t, 3) AS t3
               |FROM (SELECT l_returnflag,
               |        graft_topk_vals(l_extendedprice, 3) AS t
               |      FROM lineitem_tv GROUP BY l_returnflag)""".stripMargin)

@@ -17,11 +17,21 @@ class EmptyInputSpec extends SparkSuite {
     dir
   }
 
-  test("all queries run to completion on an empty corpus") {
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+  private lazy val oneRowDir: String = {
+    val dir = "/tmp/graft_onerow_fixtures"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.all.foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").limit(1)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  private def sweep(dir: String): Seq[String] =
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
-          fn(spark, emptyDir).write.format("noop").mode("overwrite").save()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
           None
         } catch {
           case e: Throwable =>
@@ -29,7 +39,20 @@ class EmptyInputSpec extends SparkSuite {
               String.valueOf(e.getMessage).linesIterator.take(1).mkString)
         }
     }
+
+  test("all queries run to completion on an empty corpus") {
+    val failures = sweep(emptyDir)
     assert(failures.isEmpty,
       s"${failures.size} queries fail on empty input:\n${failures.mkString("\n")}")
+  }
+
+  test("all queries run to completion on a single-row corpus") {
+    // the other degenerate layout: one row per table surfaces
+    // window-over-one-row, stddev/corr-of-one (null), log2(1)=0,
+    // single-anchor interpolation, and self-join-with-yourself edges
+    // that an empty corpus short-circuits past
+    val failures = sweep(oneRowDir)
+    assert(failures.isEmpty,
+      s"${failures.size} queries fail on single-row input:\n${failures.mkString("\n")}")
   }
 }
