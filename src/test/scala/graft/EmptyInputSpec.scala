@@ -46,6 +46,31 @@ class EmptyInputSpec extends SparkSuite {
       s"${failures.size} queries fail on empty input:\n${failures.mkString("\n")}")
   }
 
+  private lazy val dupDocsDir: String = {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_dupdocs_fixtures"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.all.foreach { t =>
+      val df = spark.read.parquet(s"$sfDir/$t.parquet")
+      val out = if (t == "documents") {
+        // 200 byte-identical copies of one doc under distinct ids — the
+        // 100%-duplicate corpus every dedup/banding/inverted-index query
+        // must survive (completion, not values, is the gate here)
+        val proto = df.orderBy(col("doc_id")).limit(1).drop("doc_id")
+        spark.range(200).select(col("id").as("doc_id")).crossJoin(proto)
+          .select(df.columns.map(col).toIndexedSeq: _*)
+      } else df
+      out.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("all queries run to completion on an all-duplicates document corpus") {
+    val failures = sweep(dupDocsDir)
+    assert(failures.isEmpty,
+      s"${failures.size} queries fail on all-dup docs:\n${failures.mkString("\n")}")
+  }
+
   test("all queries run to completion on a single-row corpus") {
     // the other degenerate layout: one row per table surfaces
     // window-over-one-row, stddev/corr-of-one (null), log2(1)=0,
