@@ -70,8 +70,18 @@ object TextFunctions {
   }
 
   /** Composite quality score in [0,1]: lexical diversity + length signals.
-    * Fixed operand order so the double arithmetic is reproducible in SQL. */
-  def qualityScore(text: Column, nChars: Column): Column = {
+    * Fixed operand order so the double arithmetic is reproducible in SQL.
+    * Native single-pass expression; the rounding stays Spark's builtin
+    * `round` so the value is identical to [[qualityScoreHof]] and the
+    * DuckDB oracle. */
+  def qualityScore(text: Column, nChars: Column): Column =
+    round(graft.expressions.QualityScoreExpression
+      .qualityScoreRaw(text, nChars), 3)
+
+  /** HOF reference implementation of [[qualityScore]] (differential
+    * tests only — five nested interpreted lambdas, re-evaluated per
+    * consumer branch). */
+  def qualityScoreHof(text: Column, nChars: Column): Column = {
     val toks = tokens(text)
     val distinctRatio = when(size(toks) > 0,
       size(array_distinct(toks)) / size(toks)).otherwise(lit(0.0))

@@ -36,6 +36,21 @@ class TextSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("native QualityScoreRaw == HOF reference on fixtures and edge cases") {
+    import spark.implicits._
+    val edge = Seq(("", 0L), ("one", 3L), ("a b", 3L), ("x  y z", 6L),
+      ("dup dup dup dup", 15L), ("    ", 4L),
+      ("unicode héllo wörld ünïcode", 27L), ("a" * 600, 600L))
+      .toDF("text", "n_chars")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("text"), col("n_chars")).union(edge)
+    val bad = docs.select(
+        TextFunctions.qualityScore(col("text"), col("n_chars")).as("nat"),
+        TextFunctions.qualityScoreHof(col("text"), col("n_chars")).as("ref"))
+      .filter(!(col("nat") <=> col("ref"))).count()
+    assert(bad == 0, "native quality score diverges from the HOF reference")
+  }
+
   test("quality score in [0,1]; fingerprints stable") {
     val docs = Tables.documents(spark, sfDir)
     val qs = docs.select(
