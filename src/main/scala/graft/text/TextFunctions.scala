@@ -45,8 +45,16 @@ object TextFunctions {
 
   private val stopwords = Seq("the", "a", "and", "of", "to")
 
-  /** Stopword ratio over non-empty tokens (0 when the doc is empty). */
-  def stopwordRatio(text: Column): Column = {
+  /** Stopword ratio over non-empty tokens (0 when the doc is empty) —
+    * native single-pass expression, value-identical to
+    * [[stopwordRatioHof]]. */
+  def stopwordRatio(text: Column): Column =
+    graft.expressions.StopwordRatioExpression
+      .stopwordRatioRaw(text, stopwords)
+
+  /** HOF reference implementation of [[stopwordRatio]] (differential
+    * tests only). */
+  def stopwordRatioHof(text: Column): Column = {
     val toks = tokens(text)
     when(size(toks) > 0,
       size(filter(toks, t => t.isin(stopwords: _*))) / size(toks))

@@ -51,6 +51,18 @@ class TextSpec extends SparkSuite {
     assert(bad == 0, "native quality score diverges from the HOF reference")
   }
 
+  test("native StopwordRatioRaw == HOF reference on fixtures and edge cases") {
+    import spark.implicits._
+    val edge = Seq("", "the", "the the the", "a  of to", "word", "    ",
+      "THE The the", "of words and the tally a to").toDF("text")
+    val docs = Tables.documents(spark, sfDir).select(col("text")).union(edge)
+    val bad = docs.select(
+        TextFunctions.stopwordRatio(col("text")).as("nat"),
+        TextFunctions.stopwordRatioHof(col("text")).as("ref"))
+      .filter(!(col("nat") <=> col("ref"))).count()
+    assert(bad == 0, "native stopword ratio diverges from the HOF reference")
+  }
+
   test("quality score in [0,1]; fingerprints stable") {
     val docs = Tables.documents(spark, sfDir)
     val qs = docs.select(
