@@ -1,13 +1,16 @@
 package graft.plans
 
+import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
 import org.apache.spark.sql.graftbridge.PlanBridge
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Group-wise top-k as a first-class operator: logical node → strategy
   * → physical exec, the full custom-operator extension ladder (the
@@ -16,27 +19,46 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * WHY an operator instead of `row_number().over(window) <= k`: the
   * window formulation sorts EVERY group's full row set (partition-wide
   * sort after the exchange) to discard all but k rows. This exec keeps
-  * a bounded k-row heap per group — O(n log k) with O(groups·k) memory,
-  * no sort buffer, no spill pressure — and runs twice: a partial pass
-  * before the exchange (each map task emits ≤ k rows per group, the
-  * combiner pattern the reference applies to shuffle data, reference
-  * src/Merger/MergeManager.cc map-side merge) and a final pass after
-  * it. At 100 TB the partial pass is the difference between shuffling
-  * every row and shuffling ≤ k·maps rows per group.
+  * a bounded k-row heap per group — O(n log k) with O(groups·k) memory
+  * — and runs twice: a partial pass before the exchange (each map task
+  * emits ≤ k rows per group, the combiner pattern the reference applies
+  * to shuffle data, reference src/Merger/MergeManager.cc map-side
+  * merge) and a final pass after it. At 100 TB the partial pass is the
+  * difference between shuffling every row and shuffling ≤ k·maps rows
+  * per group.
+  *
+  * MEMORY BOUND: O(groups·k) is itself unbounded when the group key is
+  * near-unique (a k=1 dedup on a fingerprint key has groups ≈ rows —
+  * the reference bounds exactly this with its LPQ/RPQ budgeted merge,
+  * src/Merger/MergeManager.cc:240-288). Both passes therefore cap the
+  * buffered-row count at `maxBufferedRows` (conf
+  * `spark.graft.topk.maxBufferedRows`, default 4M rows per task):
+  *  - the PARTIAL pass flushes its heap map downstream and starts
+  *    fresh. Correct because any row in its group's true partition-wide
+  *    top-k always enters the live heap on arrival and can only be
+  *    evicted by strictly-better rows — fewer than k of those exist in
+  *    the whole partition, so every true top-k row is in some flush;
+  *    the union of flushes ⊇ the exact answer the final pass needs.
+  *  - the FINAL pass (which must be exact) hands everything to Spark's
+  *    spillable [[UnsafeExternalRowSorter]], sorted by (group key,
+  *    order), and streams the first k rows of each group — the same
+  *    hash-to-sort fallback HashAggregate uses.
   *
   * Row-number semantics (ties broken by heap arrival) — pass a
   * tie-breaking column in `order` for fully deterministic output, same
   * as you would for `row_number`.
   */
 case class GroupTopKNode(groupExprs: Seq[Expression], order: Seq[SortOrder],
-                         k: Int, child: LogicalPlan) extends UnaryNode {
+                         k: Int, maxBufferedRows: Long,
+                         child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan =
     copy(child = c)
 }
 
 case class GroupTopKExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
-                         k: Int, partial: Boolean, child: SparkPlan)
+                         k: Int, partial: Boolean, maxBufferedRows: Long,
+                         child: SparkPlan)
     extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -46,29 +68,117 @@ case class GroupTopKExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
     else if (groupExprs.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(groupExprs))
 
+  private type Heap = collection.mutable.PriorityQueue[InternalRow]
+  private type HeapMap = collection.mutable.LinkedHashMap[UnsafeRow, Heap]
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val g = groupExprs
     val o = order
     val limit = k
+    val budget = math.max(1L, maxBufferedRows)
+    val isPartial = partial
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(g, childOutput)
       // ascending interpretation of the SortOrder list: "top" = the k
       // FIRST rows under `order` (use .desc for largest-first)
       val ord = RowOrdering.create(o, childOutput)
-      val heaps = collection.mutable.LinkedHashMap[UnsafeRow,
-        collection.mutable.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          collection.mutable.PriorityQueue.empty[InternalRow](ord))
-        if (heap.size < limit) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+
+      // Fills `heaps` from `iter` until the buffered-row budget is hit
+      // or input ends; returns the number of rows buffered.
+      def fill(heaps: HeapMap, alreadyBuffered: Long): Long = {
+        var buffered = alreadyBuffered
+        while (iter.hasNext && buffered < budget) {
+          val row = iter.next()
+          val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
+            collection.mutable.PriorityQueue.empty[InternalRow](ord))
+          if (heap.size < limit) { heap.enqueue(row.copy()); buffered += 1 }
+          else if (ord.compare(row, heap.head) < 0) {
+            heap.dequeue()
+            heap.enqueue(row.copy())
+          }
+        }
+        buffered
+      }
+
+      if (isPartial) {
+        // Chunked heap passes: flush the map each time the budget
+        // fills (see scaladoc for why flushed output stays a superset
+        // of each group's true top-k).
+        new Iterator[InternalRow] {
+          private var drain: Iterator[InternalRow] = Iterator.empty
+          override def hasNext: Boolean = {
+            while (!drain.hasNext && iter.hasNext) {
+              val heaps = new HeapMap
+              fill(heaps, 0L)
+              drain = heaps.valuesIterator.flatMap(_.iterator)
+            }
+            drain.hasNext
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            drain.next()
+          }
+        }
+      } else {
+        val heaps = new HeapMap
+        fill(heaps, 0L)
+        if (!iter.hasNext) {
+          heaps.valuesIterator.flatMap(_.iterator)
+        } else {
+          // Budget exceeded with input remaining: exact answers can't
+          // flush, so fall back to a spillable external sort by
+          // (group, order) and stream the first k rows per group.
+          val schema = StructType(childOutput.map(a =>
+            StructField(a.name, a.dataType, a.nullable)))
+          val sortOrd = RowOrdering.create(
+            g.map(e => SortOrder(e, Ascending)) ++ o, childOutput)
+          val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+            private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+            override def computePrefix(row: InternalRow)
+                : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+              p.value = 0L; p.isNull = false; p
+            }
+          }
+          val sorter = UnsafeExternalRowSorter.create(
+            schema, sortOrd, PrefixComparators.LONG, prefixComputer,
+            4L * 1024 * 1024, false)
+          TaskContext.get().addTaskCompletionListener[Unit](_ =>
+            sorter.cleanupResources())
+          val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+          heaps.valuesIterator.foreach(_.foreach(r =>
+            sorter.insertRow(toUnsafe(r))))
+          heaps.clear()
+          while (iter.hasNext) sorter.insertRow(toUnsafe(iter.next()))
+          val sorted = sorter.sort()
+          new Iterator[InternalRow] {
+            private var curKey: UnsafeRow = _
+            private var emitted = 0
+            private var pending: InternalRow = _
+            // read-ahead lives in hasNext (after the caller consumed
+            // the prior row), never in next(): the sorter reuses row
+            // memory across its next() calls
+            override def hasNext: Boolean = {
+              if (pending != null) return true
+              while (sorted.hasNext) {
+                val r = sorted.next()
+                val kk = keyProj(r)
+                if (curKey == null || kk != curKey) {
+                  curKey = kk.copy(); emitted = 0
+                }
+                if (emitted < limit) {
+                  emitted += 1; pending = r; return true
+                }
+              }
+              false
+            }
+            override def next(): InternalRow = {
+              if (!hasNext) throw new NoSuchElementException
+              val r = pending; pending = null; r
+            }
+          }
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
     }
   }
 
@@ -80,9 +190,10 @@ case class GroupTopKExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
   * → final. */
 object GroupTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GroupTopKNode(g, o, k, child) =>
-      GroupTopKExec(g, o, k, partial = false,
-        GroupTopKExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case GroupTopKNode(g, o, k, budget, child) =>
+      GroupTopKExec(g, o, k, partial = false, budget,
+        GroupTopKExec(g, o, k, partial = true, budget,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -90,6 +201,9 @@ object GroupTopKStrategy extends SparkStrategy {
 /** DataFrame-level API; registers the strategy on first use (the
   * session-build path is `graft.GraftSessionExtensions`). */
 object GroupTopK {
+  val MaxBufferedRowsKey = "spark.graft.topk.maxBufferedRows"
+  val DefaultMaxBufferedRows: Long = 4L * 1024 * 1024
+
   def topKPerGroup(df: DataFrame, groupCols: Seq[Column],
                    order: Seq[Column], k: Int): DataFrame = {
     require(k > 0, "k must be positive")
@@ -98,9 +212,11 @@ object GroupTopK {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GroupTopKStrategy
     }
+    val budget = spark.conf
+      .get(MaxBufferedRowsKey, DefaultMaxBufferedRows.toString).toLong
     val node = GroupTopKNode(
       groupCols.map(PlanBridge.expression),
-      order.map(PlanBridge.sortOrder), k, PlanBridge.analyzed(df))
+      order.map(PlanBridge.sortOrder), k, budget, PlanBridge.analyzed(df))
     PlanBridge.ofRows(spark, node)
   }
 }

@@ -46,6 +46,57 @@ class GroupTopKSpec extends SparkSuite {
     assert(global == expect)
   }
 
+  /** Runs `body` with the buffered-row budget forced down to `rows`,
+    * so both the partial-pass flush path and the final-pass external
+    * sort fallback execute even on the small fixture. */
+  private def withBudget[T](rows: Long)(body: => T): T = {
+    spark.conf.set(GroupTopK.MaxBufferedRowsKey, rows.toString)
+    try body finally spark.conf.unset(GroupTopK.MaxBufferedRowsKey)
+  }
+
+  test("tiny budget (partial flush + final sort fallback) matches window") {
+    val custom = withBudget(7) {
+      GroupTopK.topKPerGroup(orders,
+          Seq(orders("o_custkey")),
+          Seq(orders("o_totalprice").desc, orders("o_orderkey").asc), k = 3)
+        .select("o_custkey", "o_orderkey")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val window = orders.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).select("o_custkey", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(custom == window)
+    assert(custom.nonEmpty)
+  }
+
+  test("k=1 on a near-unique key under a tiny budget (the dedup shape)") {
+    // groups ≈ rows: the exact shape that OOMs an unbounded heap map —
+    // every final-pass task must take the external-sort fallback
+    val deduped = withBudget(16) {
+      GroupTopK.topKPerGroup(orders,
+          Seq(orders("o_orderkey")),
+          Seq(orders("o_totalprice").asc), k = 1)
+        .select("o_orderkey").collect().map(_.getLong(0))
+    }
+    assert(deduped.length == deduped.distinct.length)
+    assert(deduped.toSet ==
+      orders.select("o_orderkey").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("global top-k under a tiny budget matches limit") {
+    val global = withBudget(4) {
+      GroupTopK.topKPerGroup(orders, Seq.empty,
+          Seq(orders("o_totalprice").desc, orders("o_orderkey").asc), k = 10)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    }
+    val expect = orders.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    assert(global == expect)
+  }
+
   test("k larger than any group returns all rows") {
     val n = orders.count()
     val all = GroupTopK.topKPerGroup(orders,
