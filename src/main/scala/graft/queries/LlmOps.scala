@@ -295,11 +295,18 @@ object LlmOps {
     // is exactly q_dedup_incremental's (same oracle) — the bloom just
     // keeps definitely-new docs out of the shuffle. At 10⁹ corpus keys /
     // 1% fpp the filter is ~1.2 GB: still broadcastable, or split into
-    // per-range blooms. The mightContain UDF is the documented exception
-    // to the no-UDF rule — `BloomFilter.mightContain` has no Column API.
+    // per-range blooms. The probe is Catalyst's codegen'd
+    // `BloomFilterMightContain` (the expression behind Spark's injected
+    // runtime filters) over a serialized filter literal — it wants a
+    // LONG probe value, so the bloom is built over xxhash64(fp) (putLong
+    // on build, mightContainLong on probe: symmetric).
     "q_bloom_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      import org.apache.spark.sql.types.BinaryType
       val fp = Tables.documents(s, d)
         .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
+        .withColumn("fph", xxhash64(col("fp")))
       val corpus = fp.filter(col("doc_id") % 5 =!= 0)
       val batch = fp.filter(col("doc_id") % 5 === 0)
       // a bloom aggregated over ZERO rows comes back with null bits and
@@ -310,20 +317,24 @@ object LlmOps {
       // propagate, or the false-fallback would skip the exact anti-join
       // and silently emit corpus duplicates as new.
       val bfOpt = try {
-        val b = corpus.stat.bloomFilter("fp", expectedNumItems = 100000L,
+        val b = corpus.stat.bloomFilter("fph", expectedNumItems = 100000L,
           fpp = 0.01)
-        b.mightContainString("probe"); Some(b)
+        b.mightContainLong(0L); Some(b)
       } catch { case _: NullPointerException => None }
-      val mightContain = bfOpt match {
-        case Some(bf) =>
-          val bfB = s.sparkContext.broadcast(bf)
-          udf((x: String) => bfB.value.mightContainString(x))
-        case None => udf((_: String) => false)
-      }
-      batch.filter(!mightContain(col("fp")))
+      val mightContain: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        bfOpt match {
+          case Some(bf) =>
+            val bos = new java.io.ByteArrayOutputStream()
+            bf.writeTo(bos)
+            val bytes = bos.toByteArray
+            c => ColumnBridge.column(BloomFilterMightContain(
+              Literal(bytes, BinaryType), ColumnBridge.expression(c)))
+          case None => _ => lit(false)
+        }
+      batch.filter(!mightContain(col("fph")))
         .select(col("doc_id"), col("fp"))
         .union(
-          batch.filter(mightContain(col("fp")))
+          batch.filter(mightContain(col("fph")))
             .join(corpus.select(col("fp")), Seq("fp"), "left_anti")
             .select(col("doc_id"), col("fp")))
     }),

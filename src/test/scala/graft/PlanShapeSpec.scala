@@ -73,6 +73,14 @@ class PlanShapeSpec extends SparkSuite {
       s"unbounded-following frames found in: ${offenders.mkString(", ")}")
   }
 
+  test("bloom probe is the native might_contain expression, not a UDF") {
+    val p = plan("q_bloom_dedup")
+    assert(p.contains("might_contain"),
+      s"expected Catalyst BloomFilterMightContain in the probe:\n${p.take(2000)}")
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"),
+      s"bloom probe must not fall back to a UDF:\n${p.take(2000)}")
+  }
+
   test("quality filter broadcasts the corpus statistic") {
     val p = plan("q_quality_filter")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
