@@ -129,9 +129,17 @@ object Ann {
   def refineCentroids(corpus: DataFrame, vecCol: String,
                       init: Seq[Seq[Double]], iterations: Int): Seq[Seq[Double]] = {
     import graft.expressions.TopCentroidsExpression.topCentroids
+    import org.apache.spark.storage.StorageLevel
     var cents = init
-    for (_ <- 1 to iterations) {
-      val means = corpus
+    // Cache the projected corpus vectors ONCE for the whole refinement:
+    // the per-iteration cell ASSIGNMENT must be recomputed (centroids
+    // move), but the scanned/decoded vector column never changes — so
+    // without this each Lloyd iteration pays a full source re-scan.
+    // MEMORY_AND_DISK spills rather than OOMs when the corpus outgrows
+    // executor storage memory (at true 100 TB you'd refine on a sample).
+    val cached = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+    try for (_ <- 1 to iterations) {
+      val means = cached
         .select(col(vecCol).as("v"),
           element_at(topCentroids(col(vecCol), cents, 1), 1).as("cell"))
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -142,7 +150,7 @@ object Ann {
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
       cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
-    }
+    } finally cached.unpersist(blocking = false)
     cents
   }
 
