@@ -28,17 +28,11 @@ object Bench {
     case c => c.toString
   }
 
-  /** Round number for the artifact name: explicit env override, else one
-    * past the newest `BENCH_r<N>.json` the driver has already recorded.
-    */
+  /** Round number for the artifact name — see [[RoundStamp]] (shared
+    * with Verify so bench/accuracy artifacts can't stamp different
+    * rounds in a partial run). */
   private def roundNumber(repoDir: java.nio.file.Path): Int =
-    sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
-      val re = "BENCH_r(\\d+)\\.json".r
-      val prior = Option(repoDir.toFile.list()).getOrElse(Array.empty).collect {
-        case re(n) => n.toInt
-      }
-      if (prior.isEmpty) 1 else prior.max + 1
-    }
+    RoundStamp.round(repoDir)
 
   /** Adversarial-skew fixture: 80% of docs share ONE fingerprint and 80%
     * of fact rows share ONE join key — the duplicate-heavy corpus /
@@ -121,6 +115,7 @@ object Bench {
       val json =
         s"""{
            |  "sf": "${sfDir.split('/').last}",
+           |  "shuffle_manager": "${SparkSession.active.conf.get("spark.shuffle.manager", "sort")}",
            |  "load_avg_1m": ${f"$loadAvg%.2f"},
            |  "n_cpu": $nCpu,
            |  "total_min_sec": ${f3(timings.values.sum)},
@@ -155,6 +150,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      // bench numbers are measured THROUGH the occupied transport seam
+      // (delegating manager), same as Verify — recorded in the artifact
+      .config("spark.shuffle.manager",
+        "org.apache.spark.shuffle.graft.GraftShuffleManager")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -15,6 +15,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // every query's exchanges run through the occupied transport seam
+      // (the reference's plug point), not just ShuffleSeamSpec
+      .config("spark.shuffle.manager",
+        "org.apache.spark.shuffle.graft.GraftShuffleManager")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -54,11 +58,7 @@ object Verify {
       // greens are part of the committed round record, not just /tmp
       try {
         val repo = Paths.get(sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo"))
-        val re = "CORRECTNESS_r(\\d+)\\.json".r
-        val prior = Option(repo.toFile.list()).getOrElse(Array.empty)
-          .collect { case re(n) => n.toInt }
-        val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
-          .getOrElse(if (prior.isEmpty) 1 else prior.max + 1)
+        val round = RoundStamp.round(repo)
         Files.writeString(repo.resolve(f"ACCURACY_r$round%02d.json"),
           graft.Accuracy.toJson(acc))
       } catch { case e: Throwable =>

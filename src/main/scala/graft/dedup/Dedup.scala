@@ -235,6 +235,12 @@ object Dedup {
     // band — band keys are a pure function of the signature, so members
     // share their group's bands exactly and no candidate is lost. Every
     // candidate is still verified with the exact rounded cosine.
+    // gk is a 64-bit hash OF the signature tuple, not the tuple itself: a
+    // 2^-64 collision between distinct tuples would merge their groups and
+    // band a chimera min() signature belonging to neither — a silent
+    // recall loss strictly smaller than the SRP banding miss probability
+    // itself (~1.6e-5 per true pair), accepted as part of the ANN error
+    // budget; every surviving candidate is still exact-cosine verified.
     val sigs = Ann.withSignatures(e, "v", dim, bits, numSigs)
       .withColumn("gk", xxhash64((0 until numSigs).map(s => col(s"__sig$s")): _*))
     val members = sigs.select(col("id"), col("gk"))

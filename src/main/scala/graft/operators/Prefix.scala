@@ -67,6 +67,13 @@ object Prefix {
     * in unkeyed gap-fill: the only SinglePartition stage is over one row
     * per bucket. `order` must be a total order within a bucket (unique
     * keys) so the per-bucket last value is deterministic.
+    *
+    * `bucket` MUST be a monotone non-decreasing function of the leading
+    * `order` column (e.g. `col("ts") div width`) — same contract as
+    * [[runningSum]]. The carry window orders buckets by bucket VALUE
+    * alone, so a non-monotone bucket (a hash bucket, say) would carry
+    * "last value of a lower-numbered bucket", not "last value of an
+    * earlier one" — silently wrong fills, no error raised.
     */
   def fillForward(df: DataFrame, bucket: Column, order: Seq[Column],
                   value: String, out: String): DataFrame = {

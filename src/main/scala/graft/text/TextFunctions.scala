@@ -47,18 +47,21 @@ object TextFunctions {
 
   /** Stopword ratio over non-empty tokens (0 when the doc is empty) —
     * native single-pass expression, value-identical to
-    * [[stopwordRatioHof]]. */
+    * [[stopwordRatioHof]]. Null text → null ratio (SQL convention,
+    * matching [[qualityScore]]'s null contract). */
   def stopwordRatio(text: Column): Column =
     graft.expressions.StopwordRatioExpression
       .stopwordRatioRaw(text, stopwords)
 
   /** HOF reference implementation of [[stopwordRatio]] (differential
-    * tests only). */
+    * tests only). Null-in-null-out like the native expression (the bare
+    * `otherwise(0.0)` would score null text as 0 instead of null). */
   def stopwordRatioHof(text: Column): Column = {
     val toks = tokens(text)
-    when(size(toks) > 0,
-      size(filter(toks, t => t.isin(stopwords: _*))) / size(toks))
-      .otherwise(lit(0.0))
+    when(text.isNull, lit(null).cast("double"))
+      .otherwise(when(size(toks) > 0,
+        size(filter(toks, t => t.isin(stopwords: _*))) / size(toks))
+        .otherwise(lit(0.0)))
   }
 
   /** Crude language guess: corpora dominated by English function words
@@ -81,21 +84,30 @@ object TextFunctions {
     * Fixed operand order so the double arithmetic is reproducible in SQL.
     * Native single-pass expression; the rounding stays Spark's builtin
     * `round` so the value is identical to [[qualityScoreHof]] and the
-    * DuckDB oracle. */
+    * DuckDB oracle.
+    *
+    * NULL CONTRACT (both twins): null text or null n_chars → null score
+    * (SQL convention, `nullSafeEval` on the native side). A null-text
+    * doc therefore fails any `score >= τ` gate rather than receiving a
+    * partial length-only score. */
   def qualityScore(text: Column, nChars: Column): Column =
     round(graft.expressions.QualityScoreExpression
       .qualityScoreRaw(text, nChars), 3)
 
   /** HOF reference implementation of [[qualityScore]] (differential
     * tests only — five nested interpreted lambdas, re-evaluated per
-    * consumer branch). */
+    * consumer branch). Null-in-null-out like the native expression:
+    * without the guard, `otherwise(0.0)` branches and `least(1.0, null)`
+    * would hand a null-text doc a non-null partial score. */
   def qualityScoreHof(text: Column, nChars: Column): Column = {
     val toks = tokens(text)
     val distinctRatio = when(size(toks) > 0,
       size(array_distinct(toks)) / size(toks)).otherwise(lit(0.0))
     val lenScore = least(lit(1.0), nChars / lit(500.0))
     val tokScore = least(lit(1.0), meanTokenLength(text) / lit(8.0))
-    round(lit(0.3) * distinctRatio + lit(0.3) * lenScore + lit(0.4) * tokScore, 3)
+    when(text.isNull || nChars.isNull, lit(null).cast("double"))
+      .otherwise(round(
+        lit(0.3) * distinctRatio + lit(0.3) * lenScore + lit(0.4) * tokScore, 3))
   }
 
   /** Exact-dedup fingerprint: md5 of the normalized text. */

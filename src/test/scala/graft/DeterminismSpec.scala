@@ -38,4 +38,34 @@ class DeterminismSpec extends SparkSuite {
     assert(failures.isEmpty,
       s"partition-count-sensitive queries:\n${failures.mkString("\n")}")
   }
+
+  test("oracle-checked queries are invariant to AQE on/off") {
+    // AQE rewrites the physical plan at runtime (join strategy demotion,
+    // partition coalescing, skew splitting) — all of which change
+    // summation/merge order and row-task assignment at real scale. A
+    // query whose OUTPUT depends on any of that would silently diverge
+    // the day a cluster flips the flag, so outputs must hash identically
+    // with the optimizer on and off.
+    val names = SparkEntry.oracleSql.keys.toSeq.sorted
+    val failures = scala.collection.mutable.Buffer[String]()
+    def snapshot(name: String): Seq[String] = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect().map(_.mkString("")).sorted.toSeq
+    }
+    val original = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      for (name <- names) {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val off = snapshot(name)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        val on = snapshot(name)
+        if (off != on) {
+          val diff = (off.diff(on) ++ on.diff(off)).take(3)
+          failures += s"$name: ${off.size} vs ${on.size} rows; sample diff: ${diff.mkString(" | ")}"
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", original)
+    assert(failures.isEmpty,
+      s"AQE-sensitive queries:\n${failures.mkString("\n")}")
+  }
 }

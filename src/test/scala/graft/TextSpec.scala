@@ -38,9 +38,15 @@ class TextSpec extends SparkSuite {
 
   test("native QualityScoreRaw == HOF reference on fixtures and edge cases") {
     import spark.implicits._
-    val edge = Seq(("", 0L), ("one", 3L), ("a b", 3L), ("x  y z", 6L),
-      ("dup dup dup dup", 15L), ("    ", 4L),
-      ("unicode héllo wörld ünïcode", 27L), ("a" * 600, 600L))
+    // null rows pin the null-in-null-out contract on BOTH twins (a null
+    // text or null n_chars must yield a null score, not a partial one)
+    val edge = Seq[(Option[String], Option[Long])](
+      (Some(""), Some(0L)), (Some("one"), Some(3L)), (Some("a b"), Some(3L)),
+      (Some("x  y z"), Some(6L)), (Some("dup dup dup dup"), Some(15L)),
+      (Some("    "), Some(4L)),
+      (Some("unicode héllo wörld ünïcode"), Some(27L)),
+      (Some("a" * 600), Some(600L)),
+      (None, Some(5L)), (Some("one"), None), (None, None))
       .toDF("text", "n_chars")
     val docs = Tables.documents(spark, sfDir)
       .select(col("text"), col("n_chars")).union(edge)
@@ -53,8 +59,9 @@ class TextSpec extends SparkSuite {
 
   test("native StopwordRatioRaw == HOF reference on fixtures and edge cases") {
     import spark.implicits._
-    val edge = Seq("", "the", "the the the", "a  of to", "word", "    ",
-      "THE The the", "of words and the tally a to").toDF("text")
+    val edge = Seq[Option[String]](Some(""), Some("the"), Some("the the the"),
+      Some("a  of to"), Some("word"), Some("    "), Some("THE The the"),
+      Some("of words and the tally a to"), None).toDF("text")
     val docs = Tables.documents(spark, sfDir).select(col("text")).union(edge)
     val bad = docs.select(
         TextFunctions.stopwordRatio(col("text")).as("nat"),
