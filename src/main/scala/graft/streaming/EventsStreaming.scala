@@ -153,14 +153,28 @@ object EventsStreaming {
     * `_graft_bucketing` metadata file under the target on first write;
     * a restart with a different layout fails fast instead of scattering
     * new versions of keys across directories their stale versions don't
-    * live in. */
+    * live in.
+    *
+    * Exactly-once: the last committed (checkpoint, batchId) pair is
+    * persisted in a `_graft_last_batch` marker (written only after every
+    * bucket has swapped and the backups are deleted), and a checkpoint
+    * replay of an already-committed batch is skipped outright — so replay safety no
+    * longer rests solely on the merge being idempotent (it is, for
+    * latest-by-orderCol upserts, but a non-idempotent aggregate merged
+    * through this sink would stay correct too). A crash BEFORE the
+    * marker write replays the batch over the recovered state (the
+    * idempotent path); a torn marker parses as absent and does the
+    * same. */
   def toUpsertSink(updates: DataFrame, targetPath: String,
                    checkpoint: String, keys: Seq[String],
-                   orderCol: String, nBuckets: Int = 64): StreamingQuery =
-    updates.writeStream
-      .outputMode("update")
+                   orderCol: String, nBuckets: Int = 64,
+                   outputMode: String = "update",
+                   trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : StreamingQuery = {
+    val writer = updates.writeStream
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.hadoop.fs.Path
         val s = batch.sparkSession
         val conf = s.sparkContext.hadoopConfiguration
@@ -196,6 +210,27 @@ object EventsStreaming {
           }
           checked(fs.delete(bakRoot, true), s"recovery delete $bakRoot")
         }
+
+        // ---- replay guard -------------------------------------------------
+        // batchIds are only monotone WITHIN one checkpoint lineage (a
+        // fresh checkpoint restarts at 0), so the marker records
+        // (checkpoint, batchId) — the same scoping as Delta's
+        // txnAppId/txnVersion idempotent-writes pattern. A different
+        // checkpoint never skips; it just re-merges idempotently.
+        val lastBatchP = new Path(targetP, "_graft_last_batch")
+        val lastCommitted: Option[Long] =
+          if (fs.exists(lastBatchP)) {
+            val in = fs.open(lastBatchP)
+            try scala.util.Try {
+              val lines = scala.io.Source.fromInputStream(in, "UTF-8")
+                .mkString.linesIterator.toSeq
+              if (lines.head == checkpoint) Some(lines(1).trim.toLong) else None
+            }.toOption.flatten
+            finally in.close()
+          } else None
+        // skip a checkpoint replay of a batch whose swap already
+        // completed (the marker is written strictly after the swap)
+        if (lastCommitted.forall(_ < batchId)) {
 
         val latest = {
           // latest row per key within the batch (a batch can carry
@@ -255,9 +290,15 @@ object EventsStreaming {
           throw e
         }
         fs.delete(tmp, true)
+        // commit marker LAST: everything before this line is replay-safe
+        val out = fs.create(lastBatchP, true)
+        try out.write(s"$checkpoint\n$batchId\n".getBytes("UTF-8"))
+        finally out.close()
+        }
         ()
       }
-      .start()
+    trigger.fold(writer)(writer.trigger).start()
+  }
 
   /** Flat-map variant emitting one record per closed session (append
     * mode compatible): demonstrates flatMapGroupsWithState. */

@@ -175,6 +175,87 @@ class StreamingSpec extends SparkSuite {
     assert(!fs.exists(bakRoot), "backup root must be cleaned up")
   }
 
+  test("upsert sink: replay of a committed batch is skipped (marker guard)") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert3").toString
+    val out = s"$dir/tbl"
+    val in1 = MemoryStream[EventRow]
+    val q1 = EventsStreaming.toUpsertSink(in1.toDF(), out, s"$dir/cpA",
+      keys = Seq("user_id"), orderCol = "event_id", nBuckets = 8)
+    in1.addData(ev(1, 5, user = 10, v = 1.0))
+    q1.processAllAvailable(); q1.stop()
+
+    // forge the commit marker as if checkpoint cpB had already committed
+    // batch 0: the fresh query's first batch must be SKIPPED (replay),
+    // while its batch 1 must still apply
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = fs.create(
+      new org.apache.hadoop.fs.Path(out, "_graft_last_batch"), true)
+    try marker.write(s"$dir/cpB\n0\n".getBytes("UTF-8")) finally marker.close()
+
+    val in2 = MemoryStream[EventRow]
+    val q2 = EventsStreaming.toUpsertSink(in2.toDF(), out, s"$dir/cpB",
+      keys = Seq("user_id"), orderCol = "event_id", nBuckets = 8)
+    in2.addData(ev(2, 6, user = 10, v = 9.0)) // batch 0 — replayed, skipped
+    q2.processAllAvailable()
+    in2.addData(ev(3, 7, user = 10, v = 4.0)) // batch 1 — applied
+    q2.processAllAvailable(); q2.stop()
+    val state = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    assert(state == Map(10L -> 4.0),
+      s"batch 0 should be skipped as committed, batch 1 applied: $state")
+  }
+
+  test("file source -> watermark + session windows -> upsert sink, restart mid-run") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs_e2e").toString
+    val (src, out, cp) = (s"$dir/in", s"$dir/tbl", s"$dir/cp")
+    def writeTranche(rows: EventRow*): Unit = {
+      Thread.sleep(1100) // distinct mtimes → deterministic file order
+      rows.toSeq.toDF().coalesce(1).write.mode("append").parquet(src)
+    }
+    def at(hhmm: String, id: Long, user: Long) =
+      EventRow(id, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"),
+        user, "click", 1.0)
+    // tranche 1, two files: sessions open for users 1 and 2, then a
+    // watermark push to 11:00 that closes both (emission lags one batch)
+    writeTranche(at("10:00", 1, user = 1), at("10:05", 2, user = 1),
+      at("10:10", 3, user = 2))
+    writeTranche(at("11:30", 4, user = 9))
+    val schema = spark.read.parquet(src).schema
+    def startQuery(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      // session windows are append-mode upstream: each session upserts
+      // exactly once, when the watermark closes it
+      EventsStreaming.toUpsertSink(
+        EventsStreaming.sessionCounts(stream), out, cp,
+        keys = Seq("ss", "user_id"), orderCol = "se", nBuckets = 8,
+        outputMode = "append", trigger = Some(Trigger.AvailableNow()))
+    }
+    val q1 = startQuery()
+    assert(q1.awaitTermination(120000), "first run did not drain")
+
+    // ---- restart (same checkpoint) with new files: a late event behind
+    // the recovered watermark (10:07 < 11:00) must be DROPPED, and the
+    // next watermark pushes must flush the closed sessions
+    writeTranche(at("10:07", 5, user = 5), at("12:30", 6, user = 9))
+    writeTranche(at("13:30", 7, user = 9))
+    val q2 = startQuery()
+    assert(q2.awaitTermination(120000), "restarted run did not drain")
+
+    val got = spark.read.parquet(out)
+      .select(col("ss"), col("user_id"), col("n")).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(got.contains(("2024-01-01 10:00:00.0", 1L, 2L)),
+      s"user 1's 2-event session missing: $got")
+    assert(got.contains(("2024-01-01 10:10:00.0", 2L, 1L)),
+      s"user 2's session missing: $got")
+    assert(!got.exists { case (ss, u, _) => u == 5L },
+      s"late event behind the watermark must not create a session: $got")
+  }
+
   test("checkpointed file sink restarts exactly-once with recovered state") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
