@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: generate the [[ScaleFixture]] and time the scale
+  * family against it (the same measurement Bench embeds in
+  * bench_full_r<N>.json). Usage: RunScale [sfDir] */
+object RunScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      .config("spark.shuffle.manager",
+        "org.apache.spark.shuffle.graft.GraftShuffleManager")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (factor, pts) = Bench.scalePointTimings(spark, sfDir,
+      Map.empty[String, Double])
+    pts.sortBy(_._1).foreach { case (k, p) =>
+      val sf1 = p.sf1.map(t => f"$t%8.2f s").getOrElse(
+        s"cancelled@${p.cancelledAt.getOrElse(0)}s")
+      val exp = p.sf1.map(t =>
+        f"${math.log(t / p.sf01) / math.log(factor.toDouble)}%.2f").getOrElse("-")
+      println(f"$k%-20s sf0.1 ${p.sf01}%7.2f s   sf1 $sf1   exp $exp")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deterministic `factor`× scale-up of the heavy-family inputs
+  * (documents, embeddings, part) from a base fixture dir, for the
+  * second bench scale point: the 2×-of-baseline gate at ONE small sf
+  * cannot tell linear from quadratic, so Bench times the dedup/ANN
+  * family at sf0.1 AND at this synthetic sf1 and reports the scaling
+  * exponent.
+  *
+  * Scale-up design (everything seeded by row id — no RNG state, no
+  * Date.now, rerunnable):
+  *  - documents: each replica r>0 wraps every doc's text in 12
+  *    replica-specific salt tokens. WITHIN a replica the original
+  *    exact-dup and near-dup structure is preserved verbatim (both
+  *    members get the same salt, Jaccard unchanged); ACROSS replicas
+  *    copies of one doc share ~52 of ~80 3-shingles (J ≈ 0.65 < 0.9
+  *    threshold) so replicas never pair. Pair output therefore scales
+  *    linearly in `factor` — a 10× corpus with 10× the dup mass, not a
+  *    10×-deep duplicate pile (which would be the quadratic-output
+  *    regime DedupSpec's 1000-copy fixture covers separately).
+  *  - embeddings: replicas are fresh draws from the base fixture's own
+  *    per-(label, dim) mean/stddev (cluster structure preserved,
+  *    replicas decorrelated — a perturbed COPY would sit at cosine
+  *    ≈ 0.99 to its source and quadratically inflate the near-dup
+  *    output); ~3% planted twins per replica keep the near-dup rate of
+  *    the base fixture.
+  *  - part: replica r shifts p_size by r·50, so the (p_size, length
+  *    band) block-key cardinality scales WITH the data and per-block
+  *    density stays constant — the regime the fuzzy-join blocking
+  *    design targets (a fixed-cardinality scale-up instead requires
+  *    finer band keys; that trade-off is documented at the operator).
+  */
+object ScaleFixture {
+
+  val Tables = Seq("documents", "embeddings", "part")
+
+  /** Generates the fixture into `outDir` unless the marker says it is
+    * already there; returns the dir. Generation is NOT part of any
+    * timed region. */
+  def ensure(spark: SparkSession, baseDir: String, outDir: String,
+             factor: Int): String = {
+    val marker = new java.io.File(s"$outDir/_GRAFT_FIXTURE_f$factor")
+    if (marker.exists()) return outDir
+    val reps = broadcast(spark.range(factor).select(col("id").as("rep")))
+
+    // ---- documents --------------------------------------------------
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val nDocs = docs.count()
+    val salt = concat_ws(" ",
+      (0 until 12).map(i => concat(lit("rp"), col("rep"), lit(s"x$i"))): _*)
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("rep") * nDocs).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat_ws(" ", salt, col("text"), salt)).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    // ---- embeddings -------------------------------------------------
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val nVec = emb.count()
+    val stats = emb
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("x")).as("m"), stddev_pop(col("x")).as("sd"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val labels = stats.keys.map(_._1).max + 1
+    val dims = stats.keys.map(_._2).max + 1
+    val meanLit = typedlit((0 until labels).map(l =>
+      (0 until dims).map(d => stats((l, d))._1)))
+    val sdLit = typedlit((0 until labels).map(l =>
+      (0 until dims).map(d => stats((l, d))._2)))
+    // uniform(-√3σ, √3σ) has variance σ² — same second moment as the
+    // base clusters, which is what the SRP/IVF geometry keys off
+    def u(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(seed, lit(2000001L)).cast("double") / 1000000.0 - 1.0
+    val base = emb.crossJoin(reps)
+      .select(
+        (col("vec_id") + col("rep") * nVec).as("vec_id"),
+        when(col("rep") === 0, col("embedding").cast("array<double>"))
+          .otherwise(transform(sequence(lit(0), lit(dims - 1)), i =>
+            element_at(element_at(meanLit, col("label") + 1), i + 1) +
+              u(xxhash64(col("vec_id"), col("rep"), i)) * lit(math.sqrt(3.0)) *
+              element_at(element_at(sdLit, col("label") + 1), i + 1)))
+          .as("embedding"),
+        col("label"))
+    val twins = base.filter(col("vec_id") >= nVec &&
+        pmod(xxhash64(col("vec_id")), lit(33)) === 0)
+      .select((col("vec_id") + lit(factor.toLong) * nVec).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + u(xxhash64(col("vec_id"), i, lit(7))) * 0.01).as("embedding"),
+        col("label"))
+    base.union(twins)
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // ---- part -------------------------------------------------------
+    val part = spark.read.parquet(s"$baseDir/part.parquet")
+    val nPart = part.count()
+    val sizeSpan = part.agg(max(col("p_size"))).head().getInt(0)
+    part.crossJoin(reps)
+      .select(
+        (col("p_partkey") + col("rep") * nPart).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"),
+        (col("p_size") + col("rep") * sizeSpan).as("p_size"),
+        col("p_retailprice"))
+      .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+    outDir
+  }
+}

@@ -55,5 +55,12 @@
   *     higher-order functions (measured >100× on the dedup pipelines).
   *  5. Every operator has either a DuckDB oracle (hash compare) or a
   *     machine-readable accuracy artifact (recall / error vs exact).
+  *  6. Output invariance gates: identical results under different
+  *     shuffle-partition counts AND with AQE on/off (DeterminismSpec) —
+  *     layout knobs must never be semantic inputs.
+  *  7. Bounded memory in custom operators: GroupTopK spills to an
+  *     external sort past a row budget; bench measures the heavy family
+  *     at two scale points ([[graft.ScaleFixture]]) and reports the
+  *     scaling exponent.
   */
 package object graft

@@ -36,7 +36,12 @@ object Analytics {
 
   /** Edit-distance (<=2) self-match on `p_name`, blocked on the composite
     * (p_size, length-band) key — see the `q_fuzzy_join` entry for the
-    * recall proof. Exposed for the bounded-block-size spec. */
+    * recall proof. Exposed for the bounded-block-size spec.
+    *
+    * Bench note (r05): r04's bimodal runs [4.36, 8.16, 8.02] were host
+    * contention, not a second plan mode — 5 back-to-back runs on a
+    * quiet host (load 2.5/32 cpus) measured 10.4 (warm-up), 4.37, 4.27,
+    * 3.97, 3.91 s at sf0.1; block sizes are bounded by construction. */
   private[graft] def fuzzyJoin(p: DataFrame): DataFrame = {
     val bw = 8 // band width; must be > 2*maxDist so the length interval
                // [len-2, len+2] spans at most two consecutive bands

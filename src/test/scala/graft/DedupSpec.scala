@@ -58,6 +58,33 @@ class DedupSpec extends SparkSuite {
     assert(got.forall { case (a, b, c) => a < b && c >= 0.4 })
   }
 
+  test("embedding near-dup hi-tau (16-bit bands) == brute force on planted twins") {
+    import spark.implicits._
+    // the bench scale companion's parameterization (tau=0.9, w=16,
+    // numSigs=32 -> 128 bands, per-pair miss ~1.4e-5): the regime where
+    // LSH actually prunes (~0.2% sub-threshold collisions). Corpus:
+    // deterministic pseudo-random vectors + 30 twins at cosine ~0.999.
+    val base = spark.range(300).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        pmod(xxhash64(col("id"), i), lit(1000)).cast("double") / 500.0 - 1.0)
+        .as("embedding"))
+    val twins = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + pmod(xxhash64(col("vec_id"), i, lit(3)), lit(100))
+            .cast("double") / 5000.0).as("embedding"))
+    val corpus = base.union(twins)
+    val got = Dedup.embeddingPairs(corpus, "vec_id", "embedding",
+        threshold = 0.9, dim = 64, bits = 64, bands = 4, numSigs = 32)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.embeddingPairsBrute(corpus, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missed ${want -- got} / extra ${got -- want}")
+    assert(want.size >= 25, s"fixture should plant ~30 twin pairs, got ${want.size}")
+  }
+
   test("embedding near-dup survives a duplicate-heavy corpus (signature collapse)") {
     import spark.implicits._
     // 1000 copies of one vector + 3 of another: banding ids directly would
