@@ -124,6 +124,27 @@ object Storage {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
           dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // the reference's own wire format as a table: lineitem serialized
+    // to VInt-framed binary KV records (graft-ifile, byte-compat with
+    // Hadoop WritableUtils — IFileSpec), read back, decoded and
+    // aggregated; the oracle runs on the original parquet, so a single
+    // mis-framed length or lost record hash-mismatches
+    "q_ifile_roundtrip" -> ((s, d) => {
+      val path = s"${scratch(d)}/lineitem_ifile"
+      Tables.lineitem(s, d).select(
+        unhex(lpad(hex(col("l_orderkey")), 16, "0")).as("key"),
+        encode(concat(col("l_returnflag"), col("l_linestatus"),
+          repeat(lit("x"), col("l_linenumber"))), "UTF-8").as("value"))
+        .write.format("graft-ifile").mode("overwrite").save(path)
+      s.read.format("graft-ifile").load(path)
+        .select(conv(hex(col("key")), 16, 10).cast("long").as("k"),
+          decode(col("value"), "UTF-8").as("v"))
+        .groupBy(pmod(col("k"), lit(7L)).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_key"),
+          sum(length(col("v")).cast("long")).as("sum_len"),
+          sum(ascii(substring(col("v"), 1, 1)).cast("long")).as("sum_ascii"))
     })
   )
 
@@ -164,6 +185,13 @@ object Storage {
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM customer JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_ifile_roundtrip" ->
+      """SELECT l_orderkey % 7 AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(SUM(2 + l_linenumber) AS BIGINT) AS sum_len,
+        |  CAST(SUM(ASCII(l_returnflag)) AS BIGINT) AS sum_ascii
+        |FROM lineitem GROUP BY 1""".stripMargin
   )
 }
