@@ -23,18 +23,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp; read it as a long (nanos since epoch) and expose a
-    * microsecond-truncated timestamp column `ts` plus the raw `ts_ns`.
-    * Truncation is done with integer arithmetic (DIV) — a double division
-    * would lose precision above 2^53 ns.
+  /** `events.ts` drifts across fixture generations: some lakes write parquet
+    * TIMESTAMP(NANOS) (which Spark 4 only reads as a long via
+    * `nanosAsLong`), others TIMESTAMP_MICROS (read as TIMESTAMP or
+    * TIMESTAMP_NTZ depending on `isAdjustedToUTC`). Branch on the schema
+    * actually read, and normalize to the same surface either way:
+    * `ts` = session-zoned TIMESTAMP at microsecond precision,
+    * `ts_ns` = nanos-since-epoch LONG. Nanos truncation uses integer
+    * arithmetic (DIV) — a double division would lose precision above
+    * 2^53 ns.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts_ns DIV 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) file read as raw nanos
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns DIV 1000)"))
+      case _ => // TIMESTAMP / TIMESTAMP_NTZ file (micros)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -9,71 +9,121 @@ import org.apache.spark.sql.functions._
   * dedup output into an actionable keep/drop list: a training-data
   * pipeline drops every member of a component except its representative.
   *
-  * Algorithm: iterative min-label propagation. Each round every node
-  * takes the minimum component label among itself and its neighbors;
-  * fixpoint = connected components, in O(diameter) rounds. Duplicate
-  * clusters are near-cliques (every member pairs with most others), so
-  * the diameter is tiny — 2-4 rounds in practice; `maxIter` bounds
-  * pathological chains.
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+  * rewires edges toward the neighborhood minimum:
+  *  - large-star: every node links its strictly-larger neighbors to the
+  *    minimum of its neighborhood (including itself);
+  *  - small-star: every node and its smaller neighbors all link to that
+  *    minimum.
+  * The fixpoint is a forest of stars whose centers are the component
+  * minima, reached in O(log^2 n) rounds REGARDLESS of component
+  * diameter — unlike min-label propagation, whose round count grows
+  * with the longest chain in the pair graph (pathological at 100 TB:
+  * a chain of borderline near-dups makes diameter, not log n, the
+  * round bound).
   *
   * Scale notes:
-  *  - each round is two hash joins + a min-aggregate over the LABEL
-  *    table (one row per node that appears in some pair — orders of
-  *    magnitude smaller than the corpus), all declarative;
+  *  - each round is two groupBy-min + two joins over the EDGE table
+  *    (bounded by the near-dup pair count, orders of magnitude smaller
+  *    than the corpus), all declarative — nothing is collected and
+  *    nothing is broadcast;
+  *  - edge counts are non-increasing round over round (stars only
+  *    shrink), so the first round bounds every intermediate;
   *  - `localCheckpoint` after each round truncates lineage, or Catalyst
   *    re-analysis cost grows quadratically with iteration count (the
   *    standard iterative-DataFrame pattern; swap for `checkpoint(dir)`
   *    on a real cluster if executor loss during the loop matters);
-  *  - the driver loop carries only a convergence COUNT per round —
-  *    no data is collected.
+  *  - convergence is detected by a constant-size fingerprint aggregate
+  *    (edge count + hash sum) — the driver loop carries two longs per
+  *    round, no data.
   */
 object Clusters {
 
   /** Connected components of the undirected graph given by `edges`.
-    * Returns (id, comp) with `comp` = min node id in the component. */
+    * Returns (id, comp) with `comp` = min node id in the component.
+    * Nodes appearing only in self-pairs label themselves. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 20): DataFrame = {
-    // Materialize the edge list ONCE: `edges` is typically the tail of a
-    // whole near-dup pipeline (shingle → signature → band join), and an
-    // un-checkpointed `sym` would re-run that pipeline on every round.
-    val sym = edges
-      .select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+                          maxIter: Int = 25): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+
+    // Every labeled node, kept aside so self-pair-only nodes still get a
+    // (singleton) component at the end. Materialized once: `edges` is
+    // typically the tail of a whole near-dup pipeline (shingle →
+    // signature → band join) that must not re-run per round.
+    val nodes = raw.select(col("u").as("id"))
+      .union(raw.select(col("v").as("id")))
       .distinct()
       .localCheckpoint(true)
 
-    var labels = sym.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Orient big→small and drop self-loops; this is already the
+    // invariant both star steps emit, so round 1 sees canonical input.
+    var e = raw.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
       .localCheckpoint(true)
 
-    var changed = 1L
+    // Probabilistic set-equality check between rounds: (count, XOR of
+    // 64-bit edge hashes — order-independent and overflow-free under
+    // ANSI; the edge set is distinct so self-cancellation cannot hide a
+    // change of the same cardinality except by 2^-64 collision, and
+    // `maxIter` backstops even that). Replaces a join-against-previous-
+    // labels job per round.
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var prev = (-1L, -1L)
+    var cur = fingerprint(e)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = sym
-        .join(labels.select(col("id").as("v"), col("comp").as("vc")), "v")
-        .groupBy(col("u"))
-        .agg(min(col("vc")).as("nc"))
-      // Keep the previous label alongside the new one so convergence is a
-      // filter over the just-materialized checkpoint — not a separate
-      // join-against-old-labels job per round.
-      val next = labels
-        .join(nbrMin.select(col("u").as("id"), col("nc")), Seq("id"), "left")
-        .select(col("id"), col("comp").as("prev"),
-          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+    while (cur != prev && iter < maxIter) {
+      // large-star: m(u) = min(neighborhood(u) ∪ {u}); every neighbor
+      // v > u links to m. Emitted edges are (v, m) with v > m, so the
+      // big→small orientation is preserved by construction.
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+
+      // small-star: edges are oriented u > v, so every neighbor of u in
+      // this direction is "small"; u and all of them link to the min.
+      val ssMin = large.groupBy("u").agg(min("v").as("m"))
+      val withM = large.join(ssMin, "u")
+      e = withM.select(col("u"), col("m").as("v"))
+        .union(withM.select(col("v").as("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
         .localCheckpoint(true)
-      changed = next.filter(col("comp") < col("prev")).count()
-      labels = next.select(col("id"), col("comp"))
+
+      prev = cur
+      cur = fingerprint(e)
       iter += 1
     }
-    labels
+
+    // Fixpoint: a union of stars (leaf u → center v = component min).
+    val labels = e.select(col("u").as("id"), col("v").as("comp"))
+      .union(e.select(col("v").as("id"), col("v").as("comp")))
+      .distinct()
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** (doc_id, cluster_id, cluster_size) for every doc in some near-dup
-    * pair; cluster_id = min doc id in the component. */
+    * pair; cluster_id = min doc id in the component. The size join is
+    * left to the planner (AQE broadcasts it when it is actually small
+    * — one row per COMPONENT, which is unbounded at lake scale, so a
+    * forced broadcast would be a driver OOM). */
   def dupClusters(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val cc = connectedComponents(pairs, srcCol, dstCol)
     val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
-    cc.join(broadcast(sizes), "comp")
+    cc.join(sizes, "comp")
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
         col("cluster_size"))
   }
