@@ -34,15 +34,16 @@ object Accuracy {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfRecall = (brute & ivf).size.toDouble / brute.size
 
-    // q_ann_lsh_big: the all-shuffled (no-broadcast) LSH path on a LARGE
-    // query set — same banding as lshTopK, so recall vs brute force is
-    // the gate; the plan shape (no BroadcastExchange) is asserted in
-    // AnnSpec
+    // q_ann_lsh_big: the BOUNDED all-shuffled (no-broadcast) LSH path on
+    // a LARGE query set — what the registry runs; same banding as
+    // lshTopK plus the per-bucket/per-query caps (which do not bind at
+    // this sf), so recall vs brute force is the gate; the plan shape
+    // (no BroadcastExchange) is asserted in AnnSpec
     val qBig = e.filter(col("vec_id") % 5 === 0)
     val bruteBig = Ann.bruteForceTopK(qBig, e, "vec_id", "embedding", 5)
       .select("qid", "nid").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lshBig = Ann.lshTopKShuffled(qBig, e, "vec_id", "embedding", 5, dim = 64)
+    val lshBig = Ann.lshTopKBounded(qBig, e, "vec_id", "embedding", 5, dim = 64)
       .select("qid", "nid").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recallBig = (bruteBig & lshBig).size.toDouble / bruteBig.size

@@ -90,15 +90,16 @@ object Bench {
   /** Intrinsically-superlinear entries get their reason IN the
     * artifact, next to the number, where the round record is read. */
   private val scaleNotes = Map(
-    "q_dedup_embed" -> ("tau=0.4 sits in the random-pair cosine tail, so " +
-      "the candidate set is ~all pairs BY DESIGN (Dedup.embeddingPairs " +
-      "doc); measured 1222.9 s / exponent ~2.4 at sf1 on a quiet host; " +
-      "the production tau>=0.9 regime scales near-linearly - see " +
-      "dedup_embed_hi_tau"),
-    "q_ann_lsh_big" -> ("corpus-vs-corpus top-k is Omega(q*n) candidate " +
-      "pairs at fixed band width - intrinsic to all-pairs retrieval, " +
-      "not the plan; exchanges stay ids-only and every candidate is " +
-      "exact-verified"),
+    "q_dedup_embed" -> ("registry now runs the production tau=0.9 " +
+      "regime over a fixture-derived corpus with planted near-dup " +
+      "copies; SRP banding prunes sub-threshold candidates to ~0 (the " +
+      "old tau=0.4 all-pairs config - 1222.9 s at sf1 - survives only " +
+      "as DedupSpec's brute differential)"),
+    "q_ann_lsh_big" -> ("registry now runs Ann.lshTopKBounded: " +
+      "deterministic per-bucket (512) and per-query (1000) candidate " +
+      "caps via GroupTopK heaps bound work at O(q*bands*maxBucket) - " +
+      "caps do not bind at sf0.01 (accuracy gate unchanged) and bind " +
+      "at sf1 where the uncapped path measured exponent 2.28"),
     "dedup_embed_hi_tau" -> ("same embeddingPairs operator at tau=0.9 " +
       "with 16-bit bands (numSigs=32): sub-threshold collisions ~0.2% " +
       "of pairs, the scalable near-dup regime (differential-tested in " +

@@ -55,12 +55,30 @@ object LlmOps {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         shingleSize = 3, threshold = 0.8)),
 
-    // SRP-LSH banded candidates + exact-cosine verification: 4×16
-    // 4-bit bands give per-pair miss prob ≈1.6e-5 at cosine 0.4 (see
-    // Dedup.embeddingPairs), so the output equals the all-pairs oracle.
-    "q_dedup_embed" -> ((s, d) =>
-      Dedup.embeddingPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.4, dim = EMBED_DIM)),
+    // SRP-LSH banded candidates + exact-cosine verification at the
+    // PRODUCTION near-dup threshold tau=0.9, where banding prunes the
+    // candidate space to ~0 (the scalable regime — the tau=0.4 all-pairs
+    // configuration survives only as DedupSpec's brute-force
+    // differential). The synthetic corpus's max true cosine is ~0.51,
+    // so near-dups are planted deterministically from the fixture
+    // itself: a re-encoded (uniformly scaled — cosine exactly 1) copy
+    // of every 50th vector and a one-coordinate-drifted (cosine ~0.99)
+    // copy of every 50th+1. The oracle replays the identical
+    // construction in SQL; miss probability per true pair at tau=0.9 is
+    // (1-p^4)^64 with p = 1-acos(.9)/pi ≈ 1e-26 — statistically exact.
+    "q_dedup_embed" -> ((s, d) => {
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val scaled = base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          transform(col("v"), x => x * lit(0.5)).as("v"))
+      val drifted = base.filter(col("vec_id") % 50 === 1)
+        .select((col("vec_id") + 20000000L).as("vec_id"),
+          concat(array(element_at(col("v"), 1) * lit(0.8)),
+            slice(col("v"), 2, EMBED_DIM - 1)).as("v"))
+      Dedup.embeddingPairs(base.union(scaled).union(drifted), "vec_id", "v",
+        threshold = 0.9, dim = EMBED_DIM)
+    }),
 
     "q_ann_cosine" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -82,10 +100,15 @@ object LlmOps {
 
     // corpus-vs-corpus retrieval: every 5th vector queries the whole
     // corpus through the all-shuffled LSH path (no broadcast anywhere —
-    // the plan a 10^9-query set needs; see Ann.lshTopKShuffled)
+    // the plan a 10^9-query set needs), in the BOUNDED operating mode:
+    // deterministic per-bucket and per-query candidate caps keep total
+    // work O(q·bands·maxBucket) instead of Ω(q·n·collision-rate). The
+    // caps sit far above the sf0.01 bucket sizes, so the accuracy gate
+    // measures the same candidate set as the uncapped path; they bind
+    // exactly when the corpus outgrows them (see Ann.lshTopKBounded).
     "q_ann_lsh_big" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Ann.lshTopKShuffled(e.filter(col("vec_id") % 5 === 0), e,
+      Ann.lshTopKBounded(e.filter(col("vec_id") % 5 === 0), e,
         "vec_id", "embedding", k = 5, dim = EMBED_DIM)
     }),
 
@@ -447,13 +470,21 @@ object LlmOps {
          |FROM comp""".stripMargin,
 
     "q_dedup_embed" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
-        |                               CAST(b.embedding AS DOUBLE[])), 3) AS cos_sim
-        |FROM embeddings a, embeddings b
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, LIST_TRANSFORM(v, x -> x * 0.5)
+        |  FROM base WHERE vec_id % 50 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 20000000, LIST_CONCAT([v[1] * 0.8], v[2:])
+        |  FROM base WHERE vec_id % 50 = 1)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 3) AS cos_sim
+        |FROM aug a, aug b
         |WHERE a.vec_id < b.vec_id
-        |  AND ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
-        |                                   CAST(b.embedding AS DOUBLE[])), 3) >= 0.4""".stripMargin,
+        |  AND ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 3) >= 0.9""".stripMargin,
 
     "q_ann_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

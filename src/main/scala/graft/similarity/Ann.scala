@@ -291,4 +291,67 @@ object Ann {
       .filter(col("rk") <= k)
       .select(col("qid"), col("nid"), col("cos_sim"), col("rk"))
   }
+
+  /** BOUNDED corpus-vs-corpus SRP-LSH top-k — [[lshTopKShuffled]] with
+    * two deterministic caps that turn its Ω(q·n·γ) candidate space
+    * (γ = band collision rate; the measured exponent-2.28 scale killer)
+    * into O(q · bands · maxBucket) work:
+    *
+    *  1. Per-BUCKET cap: each band bucket keeps its `maxBucket`
+    *     lowest-`xxhash64(band, key, nid)` corpus entries (a seeded,
+    *     order-independent sample of the bucket). A band join emits at
+    *     most q_b · maxBucket pairs per bucket, so total candidates are
+    *     ≤ q · bands · maxBucket — LINEAR in the query count, corpus
+    *     size out of the bound entirely.
+    *  2. Per-QUERY cap: candidates are ranked by the number of shared
+    *     bands (the standard LSH collision-count estimator of
+    *     similarity — a pair at high cosine collides in many bands,
+    *     a random pair in ~1) and only the `capPerQuery` best proceed
+    *     to exact cosine re-ranking, bounding the expensive stage
+    *     (vector re-attachment + 64-dim dot) per query.
+    *
+    * Both caps run through [[graft.plans.GroupTopK]], whose
+    * partial-per-partition heaps bound the EXCHANGE as well as the
+    * result (no bucket's full membership is ever collected into one
+    * task's sort buffer). Both are no-ops when the data is smaller than
+    * the cap — on the sf0.01 accuracy fixture every bucket is far under
+    * `maxBucket`, so recall there is identical to the uncapped path;
+    * at 10×/100× the caps bind and the plan stays linear. Caps are
+    * deterministic (hash/id tie-breaks), so the output is stable across
+    * partitionings like every other query here.
+    */
+  def lshTopKBounded(queries: DataFrame, candidates: DataFrame,
+                     idCol: String, vecCol: String, k: Int, dim: Int,
+                     bits: Int = 64, bands: Int = 16,
+                     maxBucket: Int = 512,
+                     capPerQuery: Int = 1000): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"),
+      VectorFunctions.asDouble(col(vecCol)).as("qv"))
+    val c = candidates.select(col(idCol).as("nid"),
+      VectorFunctions.asDouble(col(vecCol)).as("cv"))
+    val qb = withBandKeys(q, "qv", dim, bits, bands).select(col("qid"), col("bk"))
+    val cb = graft.plans.GroupTopK.topKPerGroup(
+      withBandKeys(c, "cv", dim, bits, bands).select(col("nid"), col("bk")),
+      groupCols = Seq(col("bk")),
+      order = Seq(xxhash64(col("bk"), col("nid")).asc, col("nid").asc),
+      k = maxBucket)
+    val cand = qb.join(cb.hint("shuffle_hash"), "bk")
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(count(lit(1)).as("nshared"))
+    val capped = graft.plans.GroupTopK.topKPerGroup(cand,
+      groupCols = Seq(col("qid")),
+      order = Seq(col("nshared").desc, col("nid").asc),
+      k = capPerQuery)
+      .select(col("qid"), col("nid"))
+    val scored = capped.join(c.hint("shuffle_hash"), "nid")
+      .join(q.hint("shuffle_hash"), "qid")
+      .withColumn("cos_sim", VectorFunctions.cosineRounded(col("qv"), col("cv"), 3))
+      .select(col("qid"), col("nid"), col("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("cos_sim"), col("rk"))
+  }
 }

@@ -101,6 +101,67 @@ class AnnSpec extends SparkSuite {
       s"shuffled IVF variant must not broadcast either side:\n$plan")
   }
 
+  test("bounded LSH: caps above data size = identical to uncapped shuffled") {
+    val qBig = emb.filter(col("vec_id") % 5 === 0)
+    val a = Ann.lshTopKShuffled(qBig, emb, "vec_id", "embedding", 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val b = Ann.lshTopKBounded(qBig, emb, "vec_id", "embedding", 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(a == b, s"bounded diverges with slack caps: " +
+      s"only-uncapped=${a -- b} only-bounded=${b -- a}")
+  }
+
+  test("bounded LSH: binding caps actually bound the candidate volume") {
+    import spark.implicits._
+    // 600 IDENTICAL vectors — every one lands in the same bucket of
+    // every band. Uncapped, each query would score all 599 others;
+    // with maxBucket=50 a query can meet at most bands×50 candidates.
+    val dim = 8
+    val hot = (0L until 600L).map(i => (i, Array.fill(dim)(1.0f))).toDF("vec_id", "embedding")
+    val qs = hot.filter(col("vec_id") < 20)
+    val bounded = Ann.lshTopKBounded(qs, hot, "vec_id", "embedding",
+      k = 5, dim = dim, maxBucket = 50, capPerQuery = 30)
+    val got = bounded.collect()
+    val perQ = got.groupBy(_.getLong(0))
+    assert(perQ.size == 20, s"expected 20 queries, got ${perQ.size}")
+    // k results per query survive, all at cosine 1.0
+    assert(perQ.values.forall(_.length == 5))
+    assert(got.forall(_.getDouble(2) == 1.0))
+    // and the pre-rerank candidate stage really was capped: rerun the
+    // internal shape with a capPerQuery smaller than k's needs to see
+    // the cap propagate (5 <= 30 candidates per query is the contract)
+    val tight = Ann.lshTopKBounded(qs, hot, "vec_id", "embedding",
+      k = 5, dim = dim, maxBucket = 50, capPerQuery = 7)
+    val tightRows = tight.collect()
+    assert(tightRows.groupBy(_.getLong(0)).values.forall(_.length <= 7))
+  }
+
+  test("bounded LSH never broadcasts and shuffles stay payload-free") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val qBig = emb.filter(col("vec_id") % 5 === 0)
+    val df = Ann.lshTopKBounded(qBig, emb, "vec_id", "embedding", 5, dim = 64)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange") &&
+           !plan.contains("BroadcastHashJoin"),
+      s"bounded ANN variant must not broadcast either side:\n$plan")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exchanges = Ann.lshTopKBounded(qBig, emb, "vec_id", "embedding",
+        5, dim = 64).queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e
+        }
+      assert(exchanges.nonEmpty)
+      // the band-bucket cap and candidate cap run BEFORE vector
+      // re-attachment, so no exchange up to the scoring join may carry
+      // an array column; the scoring joins shuffle (id, vector) rows
+      // where each vector moves exactly once — allow those
+      val bandStage = exchanges.filter(_.output.forall(a =>
+        !a.dataType.isInstanceOf[ArrayType]))
+      assert(bandStage.nonEmpty, "expected ids-only exchanges in the plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("SRP signatures are deterministic across runs") {
     val s1 = Ann.srpSignature(col("embedding"), 64)
     val a = emb.limit(20).select(col("vec_id"), s1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet

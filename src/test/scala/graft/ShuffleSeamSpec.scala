@@ -50,4 +50,39 @@ class ShuffleSeamSpec extends AnyFunSuite {
       assert(graft(q).sameElements(expected), s"$q differs under graft shuffle")
     }
   }
+
+  test("queries survive injected mid-fetch shuffle failures with task retry") {
+    import org.apache.spark.shuffle.graft.FaultInjection
+    val expected = runWith(None)
+
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // local[4, 3]: 3 task attempts — the injected failures burn at most
+    // two attempts of any one task before the armed counter runs dry
+    val spark = SparkSession.builder()
+      .master("local[4, 3]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.shuffle.manager",
+        "org.apache.spark.shuffle.graft.FaultInjectingShuffleManager")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      Seq("q1_agg", "q_join_smj", "q_wordcount").foreach { q =>
+        FaultInjection.arm(2)
+        val rows = SparkEntry.queries(q)(spark, sfDir)
+          .collect().map(_.toString).sorted
+        assert(FaultInjection.injected.get() >= 1,
+          s"$q: fault never fired — test is vacuous " +
+            "(did the plan lose its shuffle?)")
+        assert(rows.sameElements(expected(q)),
+          s"$q differs after injected shuffle failure + retry")
+      }
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
 }
