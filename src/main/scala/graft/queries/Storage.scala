@@ -145,6 +145,34 @@ object Storage {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_key"),
           sum(length(col("v")).cast("long")).as("sum_len"),
           sum(ascii(substring(col("v"), 1, 1)).cast("long")).as("sum_ascii"))
+    }),
+
+    // same wire format through the COMPRESSED + SPLITTABLE path: one
+    // coalesced zstd-block file with a dense .idx sidecar, read back as
+    // multiple range partitions (max.split.bytes far below the file
+    // size); the oracle is the same parquet aggregate, so a torn block,
+    // a record lost at a split boundary, or a double-read all
+    // hash-mismatch
+    "q_ifile_compressed" -> ((s, d) => {
+      val path = s"${scratch(d)}/lineitem_ifile_zstd"
+      Tables.lineitem(s, d).select(
+        unhex(lpad(hex(col("l_orderkey")), 16, "0")).as("key"),
+        encode(concat(col("l_returnflag"), col("l_linestatus"),
+          repeat(lit("x"), col("l_linenumber"))), "UTF-8").as("value"))
+        .coalesce(1)
+        .write.format("graft-ifile")
+        .option("compression", "zstd")
+        .option("block.size.bytes", "8192")
+        .option("index.interval.bytes", "16384")
+        .mode("overwrite").save(path)
+      s.read.format("graft-ifile")
+        .option("max.split.bytes", "65536").load(path)
+        .select(conv(hex(col("key")), 16, 10).cast("long").as("k"),
+          decode(col("value"), "UTF-8").as("v"))
+        .groupBy(pmod(col("k"), lit(7L)).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_key"),
+          sum(length(col("v")).cast("long")).as("sum_len"),
+          sum(ascii(substring(col("v"), 1, 1)).cast("long")).as("sum_ascii"))
     })
   )
 
@@ -188,6 +216,13 @@ object Storage {
         |GROUP BY c_mktsegment""".stripMargin,
 
     "q_ifile_roundtrip" ->
+      """SELECT l_orderkey % 7 AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(SUM(2 + l_linenumber) AS BIGINT) AS sum_len,
+        |  CAST(SUM(ASCII(l_returnflag)) AS BIGINT) AS sum_ascii
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_ifile_compressed" ->
       """SELECT l_orderkey % 7 AS bucket, COUNT(*) AS n,
         |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
         |  CAST(SUM(2 + l_linenumber) AS BIGINT) AS sum_len,

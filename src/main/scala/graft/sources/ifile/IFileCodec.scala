@@ -1,0 +1,189 @@
+package graft.sources.ifile
+
+import java.io.{DataInputStream, DataOutputStream, InputStream}
+
+import org.apache.hadoop.conf.Configuration
+
+/** Block compression for `graft-ifile` streams, mirroring the
+  * reference's codec-wrapped segment streams (its merge readers pull
+  * records through a block decompressor that inflates one compressed
+  * chunk at a time: src/Merger/SnappyDecompressor.cc:60-108, generic
+  * wrapper src/Merger/DecompressorWrapper.cc:80-114): the RECORD
+  * framing (VInt lengths + EOF marker) is untouched, the byte stream
+  * it lives in is chopped into independently-inflatable blocks
+  * `<VInt rawLen> <VInt compLen> <compLen bytes>`.
+  *
+  * Two invariants make compressed files splittable (see the `.idx`
+  * sidecar in [[IFileKV]]):
+  *  - blocks are cut at RECORD boundaries only (the writer flushes
+  *    after a whole record overflows the block budget), so any block
+  *    start is a valid resume point;
+  *  - each block inflates with no state from previous blocks.
+  *
+  * Codec is carried in the file NAME (`part-N.snappy.ifile`), the same
+  * self-description convention Hadoop uses — a directory may mix raw
+  * and compressed files and every reader knows what it has.
+  */
+sealed abstract class IFileCodec(val name: String) extends Serializable {
+  def compress(raw: Array[Byte]): Array[Byte]
+  def decompress(comp: Array[Byte], rawLen: Int): Array[Byte]
+  def fileSuffix: String = s".$name.ifile"
+}
+
+object IFileCodec {
+  case object SnappyCodec extends IFileCodec("snappy") {
+    override def compress(raw: Array[Byte]): Array[Byte] =
+      org.xerial.snappy.Snappy.compress(raw)
+    override def decompress(comp: Array[Byte], rawLen: Int): Array[Byte] = {
+      val out = org.xerial.snappy.Snappy.uncompress(comp)
+      require(out.length == rawLen,
+        s"snappy block inflated to ${out.length}, frame said $rawLen")
+      out
+    }
+  }
+
+  case object ZstdCodec extends IFileCodec("zstd") {
+    override def compress(raw: Array[Byte]): Array[Byte] =
+      com.github.luben.zstd.Zstd.compress(raw, 3)
+    override def decompress(comp: Array[Byte], rawLen: Int): Array[Byte] = {
+      val out = new Array[Byte](rawLen)
+      val n = com.github.luben.zstd.Zstd.decompress(out, comp)
+      require(n == rawLen, s"zstd block inflated to $n, frame said $rawLen")
+      out
+    }
+  }
+
+  val all: Seq[IFileCodec] = Seq(SnappyCodec, ZstdCodec)
+
+  def forName(s: String): IFileCodec = s.toLowerCase match {
+    case "snappy" => SnappyCodec
+    case "zstd"   => ZstdCodec
+    case other => throw new IllegalArgumentException(
+      s"graft-ifile: unknown compression '$other' (snappy, zstd, none)")
+  }
+
+  /** Codec implied by a data file's name; None = raw. */
+  def fromFileName(f: String): Option[IFileCodec] =
+    all.find(c => f.endsWith(c.fileSuffix))
+}
+
+/** Counts bytes as the CONSUMER pulls them — sits above buffering, so
+  * `count` is exact at every record/block boundary the reader crosses
+  * (a counting layer below a BufferedInputStream would include
+  * readahead and be useless for split accounting). */
+private[ifile] class CountingInputStream(in: InputStream) extends InputStream {
+  private var n = 0L
+  def count: Long = n
+  override def read(): Int = {
+    val b = in.read(); if (b >= 0) n += 1; b
+  }
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    val r = in.read(b, off, len); if (r > 0) n += r; r
+  }
+  override def close(): Unit = in.close()
+}
+
+/** Counts bytes written through it; `count` at a record/block boundary
+  * is the boundary's final-file offset (sits between DataOutputStream
+  * and the buffer, so no flush-timing skew). */
+private[ifile] class CountingOutputStream(out: java.io.OutputStream)
+    extends java.io.OutputStream {
+  private var n = 0L
+  def count: Long = n
+  override def write(b: Int): Unit = { out.write(b); n += 1 }
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    out.write(b, off, len); n += len
+  }
+  override def flush(): Unit = out.flush()
+  override def close(): Unit = out.close()
+}
+
+/** Inflates `<VInt rawLen> <VInt compLen> <bytes>` blocks from `in`
+  * (whose `count` starts at 0 at this split's seek position) and serves
+  * the decompressed bytes. Stops — reporting clean end-of-stream —
+  * before inflating a block whose START offset lies at or beyond
+  * `limit`: that block belongs to the next split. */
+private[ifile] class BlockInflaterInputStream(
+    in: CountingInputStream, codec: IFileCodec, limit: Long, file: String)
+    extends InputStream {
+  private val data = new DataInputStream(in)
+  private var block: Array[Byte] = Array.emptyByteArray
+  private var pos = 0
+  private var done = false
+
+  private def loadBlock(): Boolean = {
+    if (done || in.count >= limit) { done = true; return false }
+    val first = in.read()
+    if (first < 0) { done = true; return false } // clean file end
+    val rawLen = VInt.readWithFirst(first.toByte, data).toInt
+    val compLen = VInt.readInt(data)
+    if (rawLen < 0 || compLen < 0)
+      IFileKV.badFrame("blockLen", math.min(rawLen, compLen), file)
+    val comp = new Array[Byte](compLen)
+    data.readFully(comp)
+    block =
+      try codec.decompress(comp, rawLen)
+      catch { case e: Exception =>
+        throw new IllegalStateException(
+          s"graft-ifile: corrupt ${codec.name} block in $file", e)
+      }
+    pos = 0
+    true
+  }
+
+  override def read(): Int = {
+    while (pos >= block.length) if (!loadBlock()) return -1
+    val b = block(pos) & 0xff; pos += 1; b
+  }
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    while (pos >= block.length) if (!loadBlock()) return -1
+    val n = math.min(len, block.length - pos)
+    System.arraycopy(block, pos, b, off, n)
+    pos += n
+    n
+  }
+  override def close(): Unit = in.close()
+}
+
+/** Buffers records and emits compressed blocks; cuts only at record
+  * boundaries. `blockStart()` is the compressed-file offset the NEXT
+  * block will begin at — a valid index entry. */
+private[ifile] class BlockDeflater(out: DataOutputStream, codec: IFileCodec,
+                                   blockSize: Int) {
+  private val buf = new java.io.ByteArrayOutputStream(blockSize + (blockSize >> 2))
+  val data = new DataOutputStream(buf)
+
+  def pendingBytes: Int = buf.size()
+
+  def flushBlock(): Unit = if (buf.size() > 0) {
+    val raw = buf.toByteArray
+    val comp = codec.compress(raw)
+    VInt.write(out, raw.length.toLong)
+    VInt.write(out, comp.length.toLong)
+    out.write(comp)
+    buf.reset()
+  }
+
+  def maybeFlush(): Unit = if (buf.size() >= blockSize) flushBlock()
+}
+
+/** Hadoop `Configuration` is not serializable; this captures the
+  * driver-session conf (defaults + every session override) as a map and
+  * rebuilds it lazily on the executor — so `spark.hadoop.*` settings
+  * reach the tasks instead of being silently dropped by a fresh
+  * `new Configuration()`. */
+private[graft] class HadoopConfHolder(@transient conf: Configuration)
+    extends Serializable {
+  private val entries: Array[(String, String)] = {
+    val it = conf.iterator()
+    val b = Array.newBuilder[(String, String)]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+    b.result()
+  }
+  @transient private lazy val rebuilt: Configuration = {
+    val c = new Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  def value: Configuration = if (conf != null) conf else rebuilt
+}

@@ -47,8 +47,12 @@ object VInt {
     n + 1
   }
 
-  def read(in: DataInput): Long = {
-    val first = in.readByte()
+  def read(in: DataInput): Long = readWithFirst(in.readByte(), in)
+
+  /** Decode when the first byte was already consumed (readers that use
+    * a raw `InputStream.read()` on the leading byte to distinguish a
+    * clean end-of-stream from a frame). */
+  def readWithFirst(first: Byte, in: DataInput): Long = {
     val len = decodeSize(first)
     if (len == 1) return first.toLong
     var v = 0L

@@ -138,6 +138,157 @@ class IFileSpec extends SparkSuite {
       .load(s"$dir/never_written").count() == 0)
   }
 
+  private def kvDf(n: Int, parts: Int) =
+    spark.range(0, n, 1, parts)
+      .select(unhex(lpad(hex(col("id")), 16, "0")).as("key"),
+        encode(concat(lit("payload-"), col("id")), "utf-8").as("value"))
+
+  private def hexPairs(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] = {
+    import spark.implicits._
+    df.select(hex(col("key")), hex(col("value")))
+      .as[(String, String)].collect().sorted.toSeq
+  }
+
+  test("compressed round-trip (snappy and zstd) matches raw, self-describes") {
+    val want = hexPairs(kvDf(2000, 3))
+    Seq("snappy", "zstd").foreach { c =>
+      val dir = java.nio.file.Files.createTempDirectory(s"ifile_$c").toString
+      kvDf(2000, 3).write.format("graft-ifile")
+        .option("compression", c)
+        .option("block.size.bytes", "4096")
+        .mode("overwrite").save(dir)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".ifile"))
+      assert(files.nonEmpty && files.forall(_.getName.endsWith(s".$c.ifile")),
+        s"codec must be in the name: ${files.map(_.getName).toSeq}")
+      // compression actually happened (repetitive payloads)
+      val rawDir = java.nio.file.Files.createTempDirectory("ifile_raw").toString
+      kvDf(2000, 3).write.format("graft-ifile").mode("overwrite").save(rawDir)
+      val rawSize = new java.io.File(rawDir).listFiles()
+        .filter(_.getName.endsWith(".ifile")).map(_.length).sum
+      assert(files.map(_.length).sum < rawSize,
+        s"$c produced no size win over raw")
+      assert(hexPairs(spark.read.format("graft-ifile").load(dir)) == want)
+    }
+  }
+
+  test("a corrupt compressed block fails loudly, not with silent data loss") {
+    val dir = java.nio.file.Files.createTempDirectory("ifile_corrupt").toString
+    kvDf(500, 1).write.format("graft-ifile")
+      .option("compression", "snappy").mode("overwrite").save(dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".ifile")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x5a).toByte
+    java.nio.file.Files.write(f.toPath, bytes)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-ifile").load(dir).count()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.toString).mkString("; ")
+    assert(msgs.contains("corrupt") || msgs.contains("FAILED_TO_UNCOMPRESS")
+      || msgs.contains("IllegalState"), msgs)
+  }
+
+  test("index sidecar makes one big file read as multiple partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("ifile_split").toString
+    // ONE file (coalesce(1)), tiny index interval so there are many marks
+    kvDf(20000, 1).write.format("graft-ifile")
+      .option("index.interval.bytes", "1024")
+      .mode("overwrite").save(dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".ifile.idx")) == 1, "sidecar missing")
+    val whole = spark.read.format("graft-ifile").load(dir)
+    val split = spark.read.format("graft-ifile")
+      .option("max.split.bytes", "65536").load(dir)
+    assert(whole.rdd.getNumPartitions == 1,
+      s"default split bytes must not split this file")
+    val nParts = split.rdd.getNumPartitions
+    assert(nParts > 1, s"expected >1 partitions, got $nParts")
+    assert(hexPairs(split) == hexPairs(whole))
+    assert(split.count() == 20000)
+  }
+
+  test("split reads of a COMPRESSED file also agree with the whole read") {
+    val dir = java.nio.file.Files.createTempDirectory("ifile_splitc").toString
+    kvDf(20000, 1).write.format("graft-ifile")
+      .option("compression", "zstd")
+      .option("block.size.bytes", "2048")
+      .option("index.interval.bytes", "1024")
+      .mode("overwrite").save(dir)
+    val whole = spark.read.format("graft-ifile").load(dir)
+    val split = spark.read.format("graft-ifile")
+      .option("max.split.bytes", "16384").load(dir)
+    assert(split.rdd.getNumPartitions > 1)
+    assert(hexPairs(split) == hexPairs(whole))
+  }
+
+  test("commit refuses to silently drop data when rename fails") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ifile_rn").toString
+    // occupy the destination NAME with a directory: local-fs rename
+    // "succeeds" by moving the file INSIDE it (HDFS rename-into-dir
+    // semantics) — the old commit left data invisible to readers and
+    // the job "passed"; renameOrDie must refuse
+    new java.io.File(dir, "part-00000.ifile").mkdirs()
+    val e = intercept[Throwable] {
+      Seq((Array[Byte](1), Array[Byte](2))).toDF("key", "value")
+        .coalesce(1).write.format("graft-ifile").mode("append").save(dir)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.toString).mkString("; ")
+    assert(msgs.contains("refusing to drop committed data"), msgs)
+
+    // and the raw false-return path (no clobber-check shortcut): rename
+    // under a parent that is a regular FILE returns false, must throw
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val src = new org.apache.hadoop.fs.Path(dir, "src-file")
+    fs.create(src, true).close()
+    val parentFile = new org.apache.hadoop.fs.Path(dir, "plain-file")
+    fs.create(parentFile, true).close()
+    val e2 = intercept[java.io.IOException] {
+      graft.sources.ifile.IFileKV.renameOrDie(fs, src,
+        new org.apache.hadoop.fs.Path(parentFile, "child"))
+    }
+    // local fs throws its own IOException here; HDFS would return false
+    // and renameOrDie raises. Either way: loud, never silent.
+    assert(e2.getMessage.contains("refusing to drop committed data") ||
+      e2.getMessage.contains("not a directory"), e2.getMessage)
+  }
+
+  test("commit cleans only its own staging dir, not concurrent writers'") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ifile_tmp").toString
+    // a concurrent write's in-flight staging dir
+    val foreign = new java.io.File(s"$dir/_temporary/other-writer-uuid")
+    foreign.mkdirs()
+    val marker = new java.io.File(foreign, "task-0-0")
+    java.nio.file.Files.write(marker.toPath, Array[Byte](1, 2, 3))
+    Seq((Array[Byte](1), Array[Byte](2))).toDF("key", "value")
+      .coalesce(1).write.format("graft-ifile").mode("overwrite").save(dir)
+    assert(marker.exists(),
+      "commit deleted a concurrent writer's staging files")
+    assert(spark.read.format("graft-ifile").load(dir).count() == 1)
+  }
+
+  test("tasks see the session Hadoop conf, not a bare new Configuration") {
+    import graft.sources.ifile.{HadoopConfHolder, IFileKV}
+    spark.sparkContext.hadoopConfiguration.set("graft.test.marker", "present")
+    try {
+      val holder = IFileKV.sessionConf()
+      assert(holder.value.get("graft.test.marker") == "present")
+      // and the value survives the executor-side serialize/rebuild path
+      val bos = new ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(holder); oos.close()
+      val back = new java.io.ObjectInputStream(
+        new ByteArrayInputStream(bos.toByteArray))
+        .readObject().asInstanceOf[HadoopConfHolder]
+      assert(back.value.get("graft.test.marker") == "present")
+    } finally spark.sparkContext.hadoopConfiguration.unset("graft.test.marker")
+  }
+
   test("overwrite truncates previous files; binary sort order matches memcmp") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ifile_ow").toString
