@@ -78,11 +78,14 @@ object Bench {
       Map.empty
     }
 
-  /** The dedup/ANN family Bench times at TWO scale points (sf0.1 and
-    * the [[ScaleFixture]] synthetic sf1) to expose the scaling
-    * exponent t ∝ sf^e. */
+  /** The dedup/ANN family plus the relational headline (sort / agg /
+    * SMJ / window) Bench times at TWO scale points (sf0.1 and the
+    * [[ScaleFixture]] synthetic sf1) to expose the scaling exponent
+    * t ∝ sf^e — "the plan you'd want at 100×" as a measured number,
+    * not a claim. */
   val ScaleFamily = Seq("q_dedup_minhash", "q_dedup_embed", "q_ann_lsh_big",
-    "q_dup_clusters", "q_fuzzy_join")
+    "q_dup_clusters", "q_fuzzy_join",
+    "q1_agg", "q_sort_global", "q_window_running", "q_join_smj")
 
   case class ScalePoint(sf01: Double, sf1: Option[Double],
                         cancelledAt: Option[Int], note: Option[String])

@@ -35,14 +35,16 @@ import org.apache.spark.sql.functions._
   */
 object ScaleFixture {
 
-  val Tables = Seq("documents", "embeddings", "part")
+  val Tables = Seq("documents", "embeddings", "part", "lineitem", "orders")
 
   /** Generates the fixture into `outDir` unless the marker says it is
     * already there; returns the dir. Generation is NOT part of any
-    * timed region. */
+    * timed region. (Marker is versioned: v2 added lineitem/orders for
+    * the relational scale family; v3 repartitions their writes so the
+    * sf1 scan parallelism matches a real 10x lake.) */
   def ensure(spark: SparkSession, baseDir: String, outDir: String,
              factor: Int): String = {
-    val marker = new java.io.File(s"$outDir/_GRAFT_FIXTURE_f$factor")
+    val marker = new java.io.File(s"$outDir/_GRAFT_FIXTURE_v3_f$factor")
     if (marker.exists()) return outDir
     val reps = broadcast(spark.range(factor).select(col("id").as("rep")))
 
@@ -100,6 +102,32 @@ object ScaleFixture {
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // ---- lineitem / orders ------------------------------------------
+    // replica r shifts the order key space by r·(max+1) on BOTH tables,
+    // so l_orderkey ⊆ o_orderkey holds per replica and the SMJ/agg
+    // relational family (q1_agg, q_sort_global, q_window_running,
+    // q_join_smj) scales with join consistency intact; per-key group
+    // sizes stay constant (the 10× corpus has 10× the keys, not 10×-fat
+    // groups — the regime a partitioned sort/agg/join should scale
+    // linearly in)
+    // repartition before write: the base sf0.1 files are single-split,
+    // so an un-repartitioned crossJoin writes ONE 10x-sized file and the
+    // sf1 scan gets ~2 splits — measuring scan-parallelism starvation,
+    // not the operator (q1_agg read exponent 1.42 that way). A real 10x
+    // lake has ~10x the files.
+    val ord = spark.read.parquet(s"$baseDir/orders.parquet")
+    val keySpan = ord.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    ord.crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * keySpan)
+      .drop("rep")
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    spark.read.parquet(s"$baseDir/lineitem.parquet").crossJoin(reps)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * keySpan)
+      .drop("rep")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
     // ---- part -------------------------------------------------------
     val part = spark.read.parquet(s"$baseDir/part.parquet")

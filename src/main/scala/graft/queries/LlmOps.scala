@@ -64,8 +64,14 @@ object LlmOps {
     // itself: a re-encoded (uniformly scaled — cosine exactly 1) copy
     // of every 50th vector and a one-coordinate-drifted (cosine ~0.99)
     // copy of every 50th+1. The oracle replays the identical
-    // construction in SQL; miss probability per true pair at tau=0.9 is
-    // (1-p^4)^64 with p = 1-acos(.9)/pi ≈ 1e-26 — statistically exact.
+    // construction in SQL. Band WIDTH does the pruning (narrow 4-bit
+    // bands collide on ~everything at corpus scale, tau or not), so
+    // this runs the 16-bit-band config (bands=4 × numSigs=32 → 128
+    // selective buckets/vector; the config the hi-tau scale point
+    // measured at exponent 0.6): miss probability per true pair at
+    // tau=0.9 is (1-p^16)^128 with p = 1-acos(.9)/pi ≈ 2e-5, and the
+    // planted pairs sit at cosine ≥ 0.997 where it is ~1e-61 —
+    // statistically exact either way.
     "q_dedup_embed" -> ((s, d) => {
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -77,7 +83,7 @@ object LlmOps {
           concat(array(element_at(col("v"), 1) * lit(0.8)),
             slice(col("v"), 2, EMBED_DIM - 1)).as("v"))
       Dedup.embeddingPairs(base.union(scaled).union(drifted), "vec_id", "v",
-        threshold = 0.9, dim = EMBED_DIM)
+        threshold = 0.9, dim = EMBED_DIM, bits = 64, bands = 4, numSigs = 32)
     }),
 
     "q_ann_cosine" -> ((s, d) => {
