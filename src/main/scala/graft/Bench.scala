@@ -108,6 +108,66 @@ object Bench {
       "of pairs, the scalable near-dup regime (differential-tested in " +
       "DedupSpec on a twin-planted corpus)"))
 
+  /** Sampled recall of the BOUNDED ANN mode at the sf1 point — the
+    * regime where the per-bucket/per-query caps actually BIND (at
+    * sf0.01 they are no-ops and the accuracy artifact's 0.85 gate
+    * measures the uncapped candidate set). ~110 hash-sampled queries
+    * against the full sf1 corpus, bounded top-5 vs exact brute-force
+    * top-5; the caps are per-query/per-bucket, so sampled-query recall
+    * estimates full-run recall unbiasedly. */
+  def boundedAnnRecallSf1(spark: SparkSession, dir: String): Option[Double] =
+    try {
+      import org.apache.spark.sql.functions._
+      val e = Tables.embeddings(spark, dir)
+      val q = e.filter(pmod(xxhash64(col("vec_id")), lit(499)) === 0)
+      val brute = graft.similarity.Ann
+        .bruteForceTopK(q, e, "vec_id", "embedding", 5)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bounded = graft.similarity.Ann
+        .lshTopKBounded(q, e, "vec_id", "embedding", 5, dim = 64)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (brute.isEmpty) None
+      else Some((brute & bounded).size.toDouble / brute.size)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bounded ANN sf1 recall failed: $e")
+      None
+    }
+
+  /** NEAR-DUP recall of the bounded mode at sf1: for queries that have
+    * a true near-duplicate in the corpus (the ScaleFixture's planted
+    * twins, cosine ≈ 0.9998 to their source), is that partner retrieved
+    * in the bounded top-5? This is the retrieval contract a dedup /
+    * contamination pipeline actually needs — exact top-5 of a
+    * random-geometry corpus (everything at cosine ≈ 0.5, nothing
+    * distinguishable) is the information-theoretically hard metric that
+    * NO sub-quadratic method preserves under binding caps. */
+  def boundedAnnNearDupRecallSf1(spark: SparkSession, dir: String,
+                                 baseDir: String, factor: Int): Option[Double] =
+    try {
+      import org.apache.spark.sql.functions._
+      val e = Tables.embeddings(spark, dir)
+      // a twin's id is its source's id + factor*nVec (ScaleFixture),
+      // nVec = base-fixture corpus size
+      val nVec = Tables.embeddings(spark, baseDir).count()
+      val twins = e.filter(col("vec_id") >= lit(factor * nVec) &&
+        pmod(xxhash64(col("vec_id"), lit(3)), lit(5)) === 0)
+      if (twins.isEmpty) return None
+      val got = graft.similarity.Ann
+        .lshTopKBounded(twins, e, "vec_id", "embedding", 5, dim = 64)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val qids = twins.select("vec_id").collect().map(_.getLong(0))
+      val hits = qids.count(q => got.getOrElse(q, Set.empty)
+        .contains(q - factor * nVec))
+      Some(hits.toDouble / qids.length)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bounded ANN near-dup recall failed: $e")
+      None
+    }
+
   /** Times the scale family against the synthetic `factor`× fixture
     * (generation excluded from timing). Each sf1 run is capped at
     * `SPARK_GRAFT_SCALE_TIMEOUT_SEC` (default 420) via job-group
@@ -176,6 +236,7 @@ object Bench {
       errors: collection.Map[String, String],
       skew: Map[String, Double],
       scale: (Int, Seq[(String, ScalePoint)]),
+      annRecall: (Option[Double], Option[Double]),
       sfDir: String): Unit = {
     try {
       val repoDir = java.nio.file.Paths.get(
@@ -231,6 +292,11 @@ object Bench {
            |  },
            |  "skew_fixture": {
            |$sk
+           |  },
+           |  "ann_bounded_sf1": {
+           |    "recall_vs_brute_sampled": ${annRecall._1.map(r => f"$r%.3f").getOrElse("null")},
+           |    "near_dup_recall_sampled": ${annRecall._2.map(r => f"$r%.3f").getOrElse("null")},
+           |    "note": "bounded-mode recall AT the sf1 point where the per-bucket/per-query caps bind (at sf0.01 they are no-ops; ACCURACY's 0.85 gate covers that regime). vs-brute = exact top-5 of a random-geometry corpus (everything at cosine ~0.5) - no sub-quadratic method preserves that under binding caps; near-dup = planted twins (cosine ~0.9998) retrieved in top-5, the retrieval contract a dedup/contamination pipeline needs"
            |  },
            |  "scale_points": {
            |    "factor": $scaleFactor,
@@ -329,8 +395,16 @@ object Bench {
           (10, Seq.empty[(String, ScalePoint)])
         }
       else (10, Seq.empty[(String, ScalePoint)])
+    val annRecall =
+      if (scalePts._2.nonEmpty) {
+        val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+          sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo") +
+            "/target/scale/sf1")
+        (boundedAnnRecallSf1(spark, scaleDir),
+          boundedAnnNearDupRecallSf1(spark, scaleDir, sfDir, scalePts._1))
+      } else (None, None)
     writeFullArtifact(timings, allRuns, rowCounts, errors,
-      skewFixtureTimings(spark, nRuns), scalePts, sfDir)
+      skewFixtureTimings(spark, nRuns), scalePts, annRecall, sfDir)
     val shown = timings.toSeq.sortBy(-_._2).take(60)
     val omitted = timings.size - shown.size
     val omittedSec = timings.values.sum - shown.map(_._2).sum

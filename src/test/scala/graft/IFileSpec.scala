@@ -223,6 +223,29 @@ class IFileSpec extends SparkSuite {
     assert(hexPairs(split) == hexPairs(whole))
   }
 
+  test("split-size sweep: every max.split.bytes yields the same multiset") {
+    // raw and compressed, several split granularities incl. pathological
+    // (smaller than one record's stride): partition planning must never
+    // drop, duplicate, or tear a record
+    Seq(("none", "ifile_sw_raw"), ("snappy", "ifile_sw_sz")).foreach {
+      case (codec, tag) =>
+        val dir = java.nio.file.Files.createTempDirectory(tag).toString
+        kvDf(8000, 1).write.format("graft-ifile")
+          .option("compression", codec)
+          .option("block.size.bytes", "1024")
+          .option("index.interval.bytes", "512")
+          .mode("overwrite").save(dir)
+        val want = hexPairs(spark.read.format("graft-ifile").load(dir))
+        Seq(100, 1000, 9999, 50000, 1 << 20).foreach { sp =>
+          val df = spark.read.format("graft-ifile")
+            .option("max.split.bytes", sp.toString).load(dir)
+          assert(hexPairs(df) == want,
+            s"codec=$codec max.split.bytes=$sp diverged " +
+              s"(${df.rdd.getNumPartitions} partitions)")
+        }
+    }
+  }
+
   test("commit refuses to silently drop data when rename fails") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ifile_rn").toString
