@@ -417,6 +417,59 @@ object LlmOps {
             .as("chunk_text"))
     }),
 
+    // Leakage-safe train/val/test split: assignment is BY DUPLICATE
+    // CLUSTER, not by document — near-duplicates (minhash pairs at
+    // J >= 0.9, transitively closed) always land in the same split, so
+    // evaluation never sees a near-copy of a training document (the
+    // contamination mode a plain per-doc hash split silently allows).
+    // Composition of the existing dupClusters operator with the
+    // deterministic md5 assignment rule (replayable in any engine);
+    // docs in no near-dup pair are their own singleton group. ~80/10/10
+    // via 2-hex-digit thresholds (cc=204/256, e6=230/256).
+    "q_split_leakage_safe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.9)
+      val clusters = graft.dedup.Clusters.dupClusters(pairs, "doc_a", "doc_b")
+      val withGroup = docs.select(col("doc_id"))
+        .join(clusters.select(col("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      val h = substring(
+        md5(concat(col("group_id").cast("string"), lit("split1"))), 1, 2)
+      withGroup
+        .withColumn("split",
+          when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+        .select(col("doc_id"), col("group_id"), col("split"))
+    }),
+
+    // Mixture rebalancing: deterministically downsample each language to
+    // an EQUAL share of the corpus (keep fraction min(1, T/(k·n_s));
+    // the fixture's en is ~2.2x oversampled, the rest keep everything) —
+    // the canonical "don't let the dominant slice drown the tail" step
+    // of a training-data pipeline. The keep decision is a pure-INTEGER
+    // comparison (h16·k·n_s < 65536·T, rendered as 5-hex-digit string
+    // compares) so any engine replays it bit-exactly — no float
+    // thresholds to drift across engines. Per-source counts are a tiny
+    // broadcast dim; the corpus is filtered map-side in one pass.
+    "q_mix_rebalance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_src"))
+      val totals = docs.agg(count(lit(1)).as("total"))
+        .crossJoin(perLang.agg(count(lit(1)).as("n_sources")))
+      val h5 = concat(lit("0"), substring(
+        md5(concat(col("doc_id").cast("string"), lit("mix1"))), 1, 4))
+      docs.join(broadcast(perLang), "lang")
+        .crossJoin(broadcast(totals))
+        // DIV (not /) — double division + cast can land one off the
+        // exact integer quotient and flip a threshold row vs the oracle
+        .withColumn("thr", lpad(lower(hex(least(
+          expr("(65536 * total) DIV (n_sources * n_src)"),
+          lit(65536L)))), 5, "0"))
+        .filter(h5 < col("thr"))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // TF-IDF: two corpus-wide aggregates (term frequency per doc,
     // document frequency per term) + a broadcast join-back of the small
     // DF table — the fact-side token stream shuffles exactly once (the
@@ -474,6 +527,43 @@ object LlmOps {
          |SELECT id AS doc_id, cluster_id,
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM comp""".stripMargin,
+
+    "q_mix_rebalance" ->
+      """WITH s AS (SELECT lang, COUNT(*) AS n_src FROM documents GROUP BY lang),
+        |t AS (SELECT (SELECT COUNT(*) FROM documents) AS total,
+        |             (SELECT COUNT(*) FROM s) AS n_sources)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN s USING (lang) CROSS JOIN t
+        |WHERE CONCAT('0', SUBSTRING(md5(CONCAT(CAST(d.doc_id AS VARCHAR), 'mix1')), 1, 4))
+        |  < printf('%05x', LEAST((65536 * total) // (n_sources * n_src), 65536))""".stripMargin,
+
+    "q_split_leakage_safe" ->
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+         |sh AS (SELECT doc_id,
+         |         LIST_DISTINCT([ARRAY_TO_STRING(ts[i:i+2], ' ') FOR i IN RANGE(1, LEN(ts)-1)]) AS s
+         |       FROM d WHERE LEN(ts) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND LEN(LIST_INTERSECT(a.s, b.s))
+         |      / (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) >= 0.9),
+         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT u AS id, u AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.v AS r FROM reach JOIN edges e ON e.u = reach.r),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |g AS (SELECT doc_id, COALESCE(c.cluster_id, doc_id) AS group_id
+         |      FROM documents LEFT JOIN comp c ON documents.doc_id = c.id)
+         |SELECT doc_id, group_id,
+         |  CASE WHEN SUBSTRING(md5(CONCAT(CAST(group_id AS VARCHAR), 'split1')), 1, 2) < 'cc'
+         |         THEN 'train'
+         |       WHEN SUBSTRING(md5(CONCAT(CAST(group_id AS VARCHAR), 'split1')), 1, 2) < 'e6'
+         |         THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM g""".stripMargin,
 
     "q_dedup_embed" ->
       """WITH base AS (

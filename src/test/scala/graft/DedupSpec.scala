@@ -103,6 +103,26 @@ class DedupSpec extends SparkSuite {
     assert(pairs.filter(col("cos_sim") < 1.0).count() == 0)
   }
 
+  test("leakage-safe split: no near-dup pair ever straddles splits") {
+    val docs = Tables.documents(spark, sfDir)
+    val split = SparkEntry.queries("q_split_leakage_safe")(spark, sfDir)
+      .select(col("doc_id"), col("split"))
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.9)
+    assert(pairs.count() > 0, "fixture has no near-dup pairs — vacuous")
+    val crossing = pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(crossing.count() == 0,
+      s"near-dup pairs crossing splits: ${crossing.collect().mkString(",")}")
+    // every doc is assigned exactly once, and all three splits are real
+    assert(split.count() == docs.count())
+    val splits = split.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits == Set("train", "val", "test"), splits.toString)
+  }
+
   test("minhash survives a duplicate-heavy corpus (signature collapse)") {
     import spark.implicits._
     // 1000 copies of one doc + 3 copies of another: the banding join must

@@ -42,10 +42,11 @@ class PlanShapeSpec extends SparkSuite {
     // Every entry here is a deliberate, bounded exception:
     //  - q_ann_cosine: brute-force baseline — few queries BROADCAST
     //    against the corpus (documented contract, candidates never shuffle)
-    //  - q_quality_filter / q_tfidf / q_source_mix: a 1-row global
-    //    statistic crossJoined back via broadcast (BNLJ over one row)
+    //  - q_quality_filter / q_tfidf / q_source_mix / q_mix_rebalance: a
+    //    1-row global statistic crossJoined back via broadcast (BNLJ
+    //    over one row)
     val allowed = Set("q_ann_cosine", "q_quality_filter", "q_tfidf",
-      "q_source_mix")
+      "q_source_mix", "q_mix_rebalance")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
