@@ -45,8 +45,10 @@ object Clusters {
     * Nodes appearing only in self-pairs label themselves. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
-    val raw = edges.select(col(srcCol).cast("long").as("u"),
-      col(dstCol).cast("long").as("v"))
+    // ids keep their own type: greatest/least/min and xxhash64 are
+    // defined for any orderable column (a cast to long would silently
+    // null out string ids)
+    val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
 
     // Every labeled node, kept aside so self-pair-only nodes still get a
     // (singleton) component at the end. Materialized once: `edges` is
@@ -107,10 +109,18 @@ object Clusters {
       iter += 1
     }
 
+    if (cur != prev)
+      System.err.println(s"[graft] connectedComponents: maxIter=$maxIter " +
+        "reached before the star fixpoint — labels below are the best " +
+        "lower bound, components may still be split")
+
     // Fixpoint: a union of stars (leaf u → center v = component min).
+    // The min-aggregate (not distinct) keeps the output WELL-FORMED —
+    // exactly one label per node — even if the loop exited via maxIter
+    // with some node still pointing at two provisional centers.
     val labels = e.select(col("u").as("id"), col("v").as("comp"))
       .union(e.select(col("v").as("id"), col("v").as("comp")))
-      .distinct()
+      .groupBy(col("id")).agg(min(col("comp")).as("comp"))
     nodes.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }

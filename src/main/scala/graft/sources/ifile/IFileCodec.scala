@@ -145,9 +145,9 @@ private[ifile] class BlockInflaterInputStream(
   override def close(): Unit = in.close()
 }
 
-/** Buffers records and emits compressed blocks; cuts only at record
-  * boundaries. `blockStart()` is the compressed-file offset the NEXT
-  * block will begin at — a valid index entry. */
+/** Buffers records and emits compressed blocks; the WRITER decides when
+  * to flush (after appending a whole record), so blocks are cut only at
+  * record boundaries. */
 private[ifile] class BlockDeflater(out: DataOutputStream, codec: IFileCodec,
                                    blockSize: Int) {
   private val buf = new java.io.ByteArrayOutputStream(blockSize + (blockSize >> 2))
@@ -163,8 +163,6 @@ private[ifile] class BlockDeflater(out: DataOutputStream, codec: IFileCodec,
     out.write(comp)
     buf.reset()
   }
-
-  def maybeFlush(): Unit = if (buf.size() >= blockSize) flushBlock()
 }
 
 /** Hadoop `Configuration` is not serializable; this captures the

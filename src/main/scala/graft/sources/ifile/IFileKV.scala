@@ -127,8 +127,13 @@ private[ifile] class IFileKVTable(path: String)
       .filterNot(_.equalsIgnoreCase("none")).map(IFileCodec.forName)
     val interval = info.options.getLong("index.interval.bytes",
       IFileKV.DefaultIndexInterval)
-    val blockSize = info.options.getLong("block.size.bytes",
-      IFileKV.DefaultBlockSize.toLong).toInt
+    val blockSizeL = info.options.getLong("block.size.bytes",
+      IFileKV.DefaultBlockSize.toLong)
+    // a Long silently .toInt-wrapped could turn 4 GiB into 0 and make
+    // every record its own compressed block
+    require(blockSizeL > 0 && blockSizeL <= (1L << 28),
+      s"graft-ifile: block.size.bytes must be in (0, 256 MiB], got $blockSizeL")
+    val blockSize = blockSizeL.toInt
     new WriteBuilder with SupportsTruncate {
       private var doTruncate = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -167,33 +172,49 @@ private[ifile] class IFileKVScan(path: String, maxSplitBytes: Long)
           Seq(IFileInputPartition(f.toString, 0L, Long.MaxValue))
         else {
           // sidecar = record/block boundary offsets; cut a split
-          // whenever the accumulated range reaches maxSplitBytes
-          val in = new java.io.DataInputStream(
-            new java.io.BufferedInputStream(fs.open(idx)))
+          // whenever the accumulated range reaches maxSplitBytes.
+          // The sidecar is ADVISORY: a corrupt one (truncated copy,
+          // foreign file) must never be trusted as record boundaries —
+          // raw framing has no sync marker, so seeking to a bogus
+          // offset would VInt-decode payload bytes as frames and
+          // return garbage ROWS, not an error. Validate strictly
+          // (length multiple of 8, strictly increasing, within the
+          // data file); on any violation fall back to the always-
+          // correct single-partition read and say so.
+          val idxLen = fs.getFileStatus(idx).getLen
           val marks = Array.newBuilder[Long]
-          try {
-            var more = true
-            while (more) {
-              val b = in.read()
-              if (b < 0) more = false
-              else {
-                var v = b.toLong
-                var i = 0
-                while (i < 7) { v = (v << 8) | (in.read() & 0xffL); i += 1 }
-                marks += v
+          var valid = idxLen % 8 == 0
+          if (valid) {
+            val in = new java.io.DataInputStream(
+              new java.io.BufferedInputStream(fs.open(idx)))
+            try {
+              var prev = 0L
+              var remaining = idxLen / 8
+              while (valid && remaining > 0) {
+                val v = in.readLong()
+                if (v <= prev || v >= len) valid = false
+                else { marks += v; prev = v }
+                remaining -= 1
+              }
+            } catch { case _: java.io.IOException => valid = false
+            } finally in.close()
+          }
+          if (!valid) {
+            System.err.println(s"[graft-ifile] ignoring invalid index " +
+              s"sidecar $idx — reading $f as one partition")
+            Seq(IFileInputPartition(f.toString, 0L, Long.MaxValue))
+          } else {
+            val splits = Array.newBuilder[IFileInputPartition]
+            var cur = 0L
+            marks.result().foreach { o =>
+              if (o - cur >= maxSplitBytes) {
+                splits += IFileInputPartition(f.toString, cur, o)
+                cur = o
               }
             }
-          } finally in.close()
-          val splits = Array.newBuilder[IFileInputPartition]
-          var cur = 0L
-          marks.result().foreach { o =>
-            if (o - cur >= maxSplitBytes && o < len) {
-              splits += IFileInputPartition(f.toString, cur, o)
-              cur = o
-            }
+            splits += IFileInputPartition(f.toString, cur, len)
+            splits.result().toSeq
           }
-          splits += IFileInputPartition(f.toString, cur, len)
-          splits.result().toSeq
         }
       }
       .map(x => x: InputPartition)
@@ -303,7 +324,26 @@ private[ifile] class IFileKVBatchWrite(path: String, truncate: Boolean,
         new Path(dst, finalName + IFileKV.IdxSuffix))
     }
     fs.delete(new Path(stage), true)
+    gcOrphanedStaging(fs)
   }
+
+  /** Staging dirs whose write CRASHED (driver gone before commit/abort)
+    * would otherwise leak full-size data files forever: scoped cleanup
+    * deletes sibling staging dirs untouched for 24 h. Age-gating keeps
+    * CONCURRENT writers safe (their dirs have fresh mtimes); the old
+    * delete-the-whole-_temporary-root behavior clobbered them. */
+  private def gcOrphanedStaging(fs: org.apache.hadoop.fs.FileSystem): Unit =
+    try {
+      val root = new Path(s"$path/_temporary")
+      if (fs.exists(root)) {
+        val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+        fs.listStatus(root)
+          .filter(s => s.isDirectory && s.getModificationTime < cutoff)
+          .foreach(s => fs.delete(s.getPath, true))
+      }
+    } catch { case e: Exception =>
+      System.err.println(s"[graft-ifile] staging GC skipped: $e")
+    }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val dst = new Path(path)
@@ -362,7 +402,9 @@ private[ifile] class IFileKVWriter(tempFile: String, finalName: String,
         d.data.write(key)
         d.data.write(value)
         if (d.pendingBytes >= blockSize) {
-          markIfDue() // this position is the NEXT block's start…
+          // counting.count here is the start offset of the pending
+          // block flushBlock is about to write — a valid seek boundary
+          markIfDue()
           d.flushBlock()
         }
     }

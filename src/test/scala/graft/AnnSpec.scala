@@ -127,13 +127,15 @@ class AnnSpec extends SparkSuite {
     // k results per query survive, all at cosine 1.0
     assert(perQ.values.forall(_.length == 5))
     assert(got.forall(_.getDouble(2) == 1.0))
-    // and the pre-rerank candidate stage really was capped: rerun the
-    // internal shape with a capPerQuery smaller than k's needs to see
-    // the cap propagate (5 <= 30 candidates per query is the contract)
+    // and the pre-rerank candidate stage really was capped: with
+    // capPerQuery = 3 < k = 5 the cap is the binding constraint, so a
+    // query can emit at most 3 rows — if the GroupTopK cap stage were
+    // dropped, each query would emit the full k = 5
     val tight = Ann.lshTopKBounded(qs, hot, "vec_id", "embedding",
-      k = 5, dim = dim, maxBucket = 50, capPerQuery = 7)
-    val tightRows = tight.collect()
-    assert(tightRows.groupBy(_.getLong(0)).values.forall(_.length <= 7))
+      k = 5, dim = dim, maxBucket = 50, capPerQuery = 3)
+    val tightPerQ = tight.collect().groupBy(_.getLong(0))
+    assert(tightPerQ.values.forall(_.length <= 3),
+      s"capPerQuery=3 must bound rows: ${tightPerQ.view.mapValues(_.length).toMap}")
   }
 
   test("bounded LSH never broadcasts and shuffles stay payload-free") {

@@ -43,6 +43,26 @@ class ClustersSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("string ids cluster too (no silent numeric cast)") {
+    val edges = Seq(("doc-a", "doc-b"), ("doc-b", "doc-c"), ("x", "y"))
+      .toDF("a", "b")
+    val cc = Clusters.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+      "doc-c" -> "doc-a", "x" -> "x", "y" -> "x"), cc.toString)
+  }
+
+  test("one label per node even when maxIter stops before the fixpoint") {
+    // a 12-node path with maxIter=1: the star rounds cannot finish, but
+    // the output must still be WELL-FORMED (exactly one row per node)
+    val edges = (1L to 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Clusters.connectedComponents(edges, "a", "b", maxIter = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.map(_._1).distinct.length == cc.length,
+      s"duplicate node labels: ${cc.mkString(",")}")
+    assert(cc.map(_._1).toSet == (1L to 12L).toSet)
+  }
+
   test("dupClusters sizes are consistent") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
     val rows = Clusters.dupClusters(edges, "a", "b")

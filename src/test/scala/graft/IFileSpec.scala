@@ -223,6 +223,32 @@ class IFileSpec extends SparkSuite {
     assert(hexPairs(split) == hexPairs(whole))
   }
 
+  test("a corrupt index sidecar falls back to one correct partition") {
+    val dir = java.nio.file.Files.createTempDirectory("ifile_badidx").toString
+    kvDf(8000, 1).write.format("graft-ifile")
+      .option("index.interval.bytes", "512")
+      .mode("overwrite").save(dir)
+    val want = hexPairs(spark.read.format("graft-ifile").load(dir))
+    val idx = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".ifile.idx")).head
+    // truncate mid-entry: length no longer a multiple of 8
+    val bytes = java.nio.file.Files.readAllBytes(idx.toPath)
+    java.nio.file.Files.write(idx.toPath, bytes.dropRight(3))
+    val df = spark.read.format("graft-ifile")
+      .option("max.split.bytes", "1000").load(dir)
+    assert(df.rdd.getNumPartitions == 1,
+      "corrupt sidecar must not be trusted for splitting")
+    assert(hexPairs(df) == want)
+    // garbage offsets (non-monotonic / past EOF) are equally rejected
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(idx))
+    out.writeLong(500); out.writeLong(400); out.writeLong(1L << 40)
+    out.close()
+    val df2 = spark.read.format("graft-ifile")
+      .option("max.split.bytes", "1000").load(dir)
+    assert(df2.rdd.getNumPartitions == 1)
+    assert(hexPairs(df2) == want)
+  }
+
   test("split-size sweep: every max.split.bytes yields the same multiset") {
     // raw and compressed, several split granularities incl. pathological
     // (smaller than one record's stride): partition planning must never
