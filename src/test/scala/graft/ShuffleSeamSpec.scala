@@ -51,6 +51,60 @@ class ShuffleSeamSpec extends AnyFunSuite {
     }
   }
 
+  test("ifile write commits exactly-once under first-attempt task failures") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[4, 3]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      import org.apache.spark.TaskContext
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("ifile_retry").toString
+      // every partition's FIRST attempt dies mid-stream after producing
+      // rows — the half-written staging file must never surface
+      val flaky = spark.range(0, 1000, 1, 4).as[Long]
+        .mapPartitions { it =>
+          val ctx = TaskContext.get()
+          if (ctx != null && ctx.attemptNumber() == 0)
+            new Iterator[Long] {
+              var n = 0
+              def hasNext: Boolean = true
+              def next(): Long = {
+                n += 1
+                if (n > 50) throw new RuntimeException(
+                  "graft test: injected write-task failure")
+                it.next()
+              }
+            }
+          else it
+        }
+        .toDF("id")
+        .select(unhex(lpad(hex(col("id")), 16, "0")).as("key"),
+          encode(col("id").cast("string"), "utf-8").as("value"))
+      flaky.write.format("graft-ifile").mode("overwrite").save(dir)
+      val back = spark.read.format("graft-ifile").load(dir)
+      assert(back.count() == 1000, "retry must commit exactly the data once")
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".ifile"))
+      assert(files.length == 4, files.map(_.getName).toSeq.toString)
+      // this write's staging dir is gone; failed attempts left nothing
+      val tmp = new java.io.File(dir, "_temporary")
+      assert(!tmp.exists() || tmp.listFiles().forall(d =>
+        d.listFiles() == null || d.listFiles().isEmpty),
+        "staging leftovers survived commit")
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
   test("queries survive injected mid-fetch shuffle failures with task retry") {
     import org.apache.spark.shuffle.graft.FaultInjection
     val expected = runWith(None)
