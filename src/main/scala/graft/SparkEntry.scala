@@ -18,12 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.LlmOps.queries ++
       graft.queries.EventsOps.queries ++ graft.queries.Storage.queries ++
-      graft.queries.Analytics.queries
+      graft.queries.Analytics.queries ++ graft.queries.Shape.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.LlmOps.oracles ++
       graft.queries.EventsOps.oracles ++ graft.queries.Storage.oracles ++
-      graft.queries.Analytics.oracles
+      graft.queries.Analytics.oracles ++ graft.queries.Shape.oracles
 }
