@@ -84,7 +84,7 @@ object Bench {
     * t ∝ sf^e — "the plan you'd want at 100×" as a measured number,
     * not a claim. */
   val ScaleFamily = Seq("q_dedup_minhash", "q_dedup_embed", "q_ann_lsh_big",
-    "q_dup_clusters", "q_fuzzy_join",
+    "q_dup_clusters", "q_dedup_keep_best", "q_span_dedup", "q_fuzzy_join",
     "q1_agg", "q_sort_global", "q_window_running", "q_join_smj")
 
   case class ScalePoint(sf01: Double, sf1: Option[Double],

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster resolution: near-dup PAIRS (from MinHash/SimHash/
@@ -136,5 +137,29 @@ object Clusters {
     cc.join(sizes, "comp")
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
         col("cluster_size"))
+  }
+
+  /** Full-corpus keep/drop list — the artifact a dedup pipeline actually
+    * applies to the lake. Every doc gets its cluster label (docs in no
+    * near-dup pair are their own singleton cluster) and `keep` = true
+    * iff the doc is the cluster's representative: highest `scoreCol`,
+    * ties to the lowest id (the "keep the longest copy" rule).
+    *
+    * Scale: the label join is id→comp on the (small) paired subset via
+    * a left join the planner can broadcast when pairs are sparse; the
+    * representative pick is one row_number over cluster-sized window
+    * partitions (bounded by the largest duplicate cluster, never the
+    * corpus). `docs` should be pre-projected to (id, score) — document
+    * payloads stay out of both the shuffle and the window sort. */
+  def keepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+               srcCol: String, dstCol: String, scoreCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, srcCol, dstCol)
+      .select(col("id").as(idCol), col("comp"))
+    val labeled = docs.join(cc, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("comp"), col(idCol)))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    labeled.withColumn("rk", row_number().over(w))
+      .select(col(idCol), col("cluster_id"), (col("rk") === 1).as("keep"))
   }
 }

@@ -51,6 +51,20 @@ object LlmOps {
           shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.9),
         "doc_a", "doc_b")),
 
+    // Clusters → one representative per cluster over the FULL corpus
+    // (singletons keep themselves): the keep/drop list the pipeline
+    // applies to the lake. Representative = longest member (n_chars),
+    // ties to the lowest doc_id — deterministic, so the closure oracle
+    // extends with a plain window argmax.
+    "q_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.dedup.Clusters.keepBest(
+        docs.select(col("doc_id"), col("n_chars")), "doc_id",
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.9),
+        "doc_a", "doc_b", "n_chars")
+    }),
+
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         shingleSize = 3, threshold = 0.8)),
@@ -527,6 +541,31 @@ object LlmOps {
          |SELECT id AS doc_id, cluster_id,
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM comp""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+         |sh AS (SELECT doc_id,
+         |         LIST_DISTINCT([ARRAY_TO_STRING(ts[i:i+2], ' ') FOR i IN RANGE(1, LEN(ts)-1)]) AS s
+         |       FROM d WHERE LEN(ts) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND LEN(LIST_INTERSECT(a.s, b.s))
+         |      / (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) >= 0.9),
+         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT u AS id, u AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.v AS r FROM reach JOIN edges e ON e.u = reach.r),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |    ORDER BY n_chars DESC, doc_id ASC) = 1 AS keep
+         |FROM (SELECT dd.doc_id, COALESCE(c.cluster_id, dd.doc_id) AS cluster_id,
+         |        dd.n_chars
+         |      FROM documents dd LEFT JOIN comp c ON c.id = dd.doc_id)""".stripMargin,
 
     "q_mix_rebalance" ->
       """WITH s AS (SELECT lang, COUNT(*) AS n_src FROM documents GROUP BY lang),

@@ -70,4 +70,29 @@ class ClustersSpec extends SparkSuite {
     assert(rows.toSet == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
+
+  test("keepBest keeps the highest-score member; singletons keep themselves") {
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 50L), (10L, 7L), (11L, 3L),
+      (99L, 1L)).toDF("doc_id", "score")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val rows = Clusters.keepBest(docs, "doc_id", edges, "a", "b", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // cluster {1,2,3}: 2 and 3 tie on score 50 -> lower id 2 wins;
+    // cluster {10,11}: 10 wins on score; 99 is a singleton keeper
+    assert(rows == Set((1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false), (99L, 99L, true)))
+  }
+
+  test("keepBest emits exactly one keeper per cluster on fixture pairs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val kb = Clusters.keepBest(docs.select(col("doc_id"), col("n_chars")),
+      "doc_id", Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.9),
+      "doc_a", "doc_b", "n_chars")
+    assert(kb.count() == docs.count(), "every doc must be labeled")
+    val perCluster = kb.groupBy("cluster_id")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("keepers"))
+    assert(perCluster.filter(col("keepers") =!= 1).count() == 0)
+  }
 }
