@@ -124,6 +124,20 @@ object Shape {
           round(max(col("value")), 2).as("high"), count(lit(1)).as("n"))
     }),
 
+    // ---- moving median: exact 10-row rolling median per user ----------
+    // The robust rolling statistic (rolling mean is outlier-poisoned);
+    // exact interpolated percentile over a bounded rows frame — work is
+    // O(frame) per row, frame is constant, partitions are per-user.
+    // Both engines share the interpolation formula, so the doubles are
+    // bitwise-identical before rounding.
+    "q_window_median" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(tsm, col("event_id")).rowsBetween(-9, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(expr("percentile(value, 0.5)").over(w), 3).as("med10"))
+    }),
+
     // ---- exact repeated-span dedup: 8-gram spans shared across docs ----
     // The exact-substring complement of MinHash near-dup: find every
     // 8-token span appearing in >= 2 documents and report, per doc, how
@@ -206,6 +220,13 @@ object Shape {
         |          || LPAD(CAST(event_id AS VARCHAR), 10, '0') AS ord
         |      FROM events)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_window_median" ->
+      """SELECT user_id, event_id,
+        |  ROUND(QUANTILE_CONT(value, 0.5) OVER (PARTITION BY user_id
+        |    ORDER BY DATE_TRUNC('milliseconds', ts), event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 3) AS med10
+        |FROM events""".stripMargin,
 
     "q_span_dedup" ->
       """WITH sh AS (SELECT DISTINCT doc_id, span FROM (

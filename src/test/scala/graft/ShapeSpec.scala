@@ -98,6 +98,37 @@ class ShapeSpec extends SparkSuite {
     assert(hits.toSeq == Seq(1L, 2L))
   }
 
+  test("ohlc is a pure aggregate: no window operator in the plan") {
+    val plan = q("q_ohlc").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "OHLC must not plan a window sort")
+  }
+
+  test("window_median equals a driver-side rolling median for one user") {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id") === 1L)
+      .select("event_id", "ts", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .sortBy(t => (t._2, t._1))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val lo = s(pos.toInt)
+      val hi = s(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    val expected = ev.indices.map { i =>
+      val frame = ev.slice(math.max(0, i - 9), i + 1).map(_._3)
+      ev(i)._1 -> math.floor(median(frame.toIndexedSeq) * 1000 + 0.5) / 1000
+    }.toMap
+    val got = q("q_window_median").filter(col("user_id") === 1L)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (id, m) =>
+      assert(math.abs(got(id) - m) < 1e-9, s"event $id: ${got(id)} != $m")
+    }
+  }
+
   test("span_dedup plan shuffles only (span, doc_id) pairs, never text") {
     val plan = q("q_span_dedup").queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning(text"),
