@@ -107,6 +107,44 @@ object Prefix {
       .drop("_gbucket", "_lfill", "_bcarry")
   }
 
+  /** Global running `max(value)` over `order` — same two-phase scan as
+    * [[runningSum]] (one scalable exchange on the bucket key; the only
+    * SinglePartition is over ~one row per bucket). With
+    * `inclusive = false` the scan is STRICT: each row sees the max of
+    * rows strictly BEFORE it in the global order (first row → null) —
+    * the dominance test a skyline/Pareto-frontier operator needs.
+    * Strictness is at ROW granularity within a bucket but the
+    * cross-bucket carry is whole-prior-buckets, so callers needing
+    * strict semantics across ties must pre-aggregate to one row per
+    * distinct leading-order value (as `q_skyline` does per price). */
+  def runningMax(df: DataFrame, bucket: Column, order: Seq[Column],
+                 value: Column, out: String,
+                 inclusive: Boolean = true): DataFrame = {
+    val b = df.withColumn("_gbucket", bucket)
+
+    val hi = if (inclusive) Window.currentRow else -1L
+    val wLocal = Window.partitionBy(col("_gbucket")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, hi)
+    val local = b.withColumn("_lmax", max(value).over(wLocal))
+
+    // per-bucket max — partial+final aggregate, ~one row per bucket
+    val totals = b.groupBy(col("_gbucket")).agg(max(value).as("_bmax"))
+
+    // exclusive carry: max of any PRIOR bucket (the only SinglePartition)
+    val wOff = Window.orderBy(col("_gbucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("_boff", max(col("_bmax")).over(wOff))
+      .select(col("_gbucket"), col("_boff"))
+
+    local.join(broadcast(offsets), Seq("_gbucket"))
+      // greatest() ignores nulls, so a null local (strict first row) or a
+      // null carry (first bucket) falls back to the other side; both null
+      // -> null, the correct "nothing precedes" answer.
+      .withColumn(out, greatest(col("_lmax"), col("_boff")))
+      .drop("_gbucket", "_lmax", "_boff")
+  }
+
   def runningSum(df: DataFrame, bucket: Column, order: Seq[Column],
                  value: Column, out: String): DataFrame = {
     val b = df.withColumn("_gbucket", bucket)

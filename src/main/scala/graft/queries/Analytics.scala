@@ -440,6 +440,33 @@ object Analytics {
             .otherwise(0L)) / count(lit(1)), 4).as("clipped_share"))
     }),
 
+    // ---- skyline / Pareto frontier: parts not dominated on (min price,
+    // max size). The naive formulation is an O(n²) dominance anti-join;
+    // this is the sort-scan form: one tiny aggregate to one row per
+    // distinct price, a STRICT global running max of size over price
+    // order (two-phase distributed prefix scan — the only
+    // SinglePartition is over ~one row per price bucket), then a
+    // broadcast join of the (tiny) frontier back to the fact table.
+    // A part is on the frontier iff nothing strictly cheaper has >= its
+    // size (running-max test) and nothing at the same price is larger
+    // (the per-price max join condition). Exact-tie twins both survive —
+    // neither dominates the other.
+    "q_skyline" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val cand = part.groupBy(col("p_retailprice"))
+        .agg(max(col("p_size")).as("mx"))
+      val strict = graft.operators.Prefix.runningMax(cand,
+        expr("CAST(p_retailprice AS BIGINT) DIV 100"),
+        Seq(col("p_retailprice")), col("mx"), "m_strict",
+        inclusive = false)
+      val frontier = strict
+        .filter(col("m_strict").isNull || col("mx") > col("m_strict"))
+        .select(col("p_retailprice").as("fp"), col("mx"))
+      part.join(broadcast(frontier),
+          col("p_retailprice") === col("fp") && col("p_size") === col("mx"))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    }),
+
     // ---- SQL front door: the same engine surface through spark.sql over
     // registered views, with an explicit BROADCAST hint — proving a SQL-
     // only user gets the identical (broadcast-dim, fact-shuffles-once)
@@ -718,6 +745,14 @@ object Analytics {
         |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS clipped_share
         |FROM lineitem l JOIN bounds b USING (l_returnflag)
         |GROUP BY l.l_returnflag""".stripMargin,
+
+    "q_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice
+        |         OR q.p_size > p.p_size))""".stripMargin,
 
     "q_sql_front" ->
       """SELECT n.n_name, COUNT(*) AS n_orders,

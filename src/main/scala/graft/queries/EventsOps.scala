@@ -81,6 +81,74 @@ object EventsOps {
           "ts", "ts", Seq("event_id"), tiebreak = Some("event_id"))
         .select(col("event_id").as("purchase_id"),
           col("__match.event_id").as("signup_id"))
+    }),
+
+    // nearest as-of: each purchase matched to the user's signup CLOSEST
+    // in time, either direction (ties -> the earlier one) — the
+    // attribution variant when cause/effect direction is unknown
+    "q_asof_nearest" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      AsOfJoin.asofNearest(purchases, signups, Seq("user_id"),
+          "ts", "ts", Seq("event_id"), tiebreak = Some("event_id"))
+        .select(col("event_id").as("purchase_id"),
+          col("__match.event_id").as("nearest_signup_id"))
+    }),
+
+    // sweep-line interval concurrency: each event opens a deterministic
+    // [ts, ts + 300 + event_id % 3600 sec) activity interval; emit the
+    // per-hour MAX number of simultaneously open intervals. +1/-1 change
+    // points -> net delta per instant (partial+final aggregate) -> global
+    // running sum via the two-phase distributed prefix scan (the only
+    // SinglePartition is over ~one row per hour bucket) -> per-hour max.
+    // The classic "peak concurrent sessions" query, with no interval
+    // self-join and no row explosion: 2 rows per event, ever.
+    "q_concurrency" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        unix_micros(col("ts")).as("st"),
+        (lit(300L) + col("event_id") % 3600L).as("dur"))
+      val deltas = ev.select(col("st").as("t"), lit(1L).as("d"))
+        .unionByName(ev.select((col("st") + col("dur") * 1000000L).as("t"),
+          lit(-1L).as("d")))
+      val net = deltas.groupBy(col("t")).agg(sum(col("d")).as("net"))
+      graft.operators.Prefix.runningSum(net,
+          expr("t DIV 3600000000"), Seq(col("t")), col("net"), "conc")
+        .groupBy(expr("t DIV 3600000000").as("hour_id"))
+        .agg(max(col("conc")).as("max_conc"))
+    }),
+
+    // exact decayed moving average (EWMA over the trailing 9 events per
+    // user, decay 0.9): weights are the RATIONALS 9^d·10^(8-d) (exact in
+    // both engines — no libm pow drift can flip a digit), accumulated in
+    // decimals so the sum is order-independent, divided once as doubles.
+    // One user-partitioned window; the weighted sum is a codegen'd
+    // higher-order function over the frame list — map-side after the
+    // window sort, no self-join, no row explosion.
+    "q_ewma" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-8, 0)
+      def wInt(dd: org.apache.spark.sql.Column) =
+        (pow(lit(9.0), dd.cast("double")) *
+          pow(lit(10.0), lit(8.0) - dd.cast("double"))).cast("decimal(12,0)")
+      Tables.events(s, d)
+        .withColumn("_vals",
+          collect_list(col("value").cast("decimal(18,6)")).over(w))
+        .withColumn("_dists",
+          sequence(size(col("_vals")) - 1, lit(0), lit(-1)))
+        .withColumn("_num", aggregate(
+          zip_with(col("_vals"), col("_dists"), (v, dd) => v * wInt(dd)),
+          lit(0).cast("decimal(32,6)"),
+          (acc, x) => (acc + x).cast("decimal(32,6)")))
+        .withColumn("_den", aggregate(col("_dists"),
+          lit(0).cast("decimal(14,0)"),
+          (acc, dd) => (acc + wInt(dd)).cast("decimal(14,0)")))
+        .select(col("user_id"), col("event_id"),
+          round(col("_num").cast("double") / col("_den").cast("double"), 6)
+            .as("ewma9"))
     })
   )
 
@@ -138,6 +206,53 @@ object EventsOps {
         |      FROM events WHERE event_type = 'purchase') l
         |ASOF LEFT JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts
         |      FROM events WHERE event_type = 'signup') r
-        |ON l.user_id = r.user_id AND l.uts >= r.uts""".stripMargin
+        |ON l.user_id = r.user_id AND l.uts >= r.uts""".stripMargin,
+
+    "q_asof_nearest" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts
+        |           FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts
+        |      FROM events WHERE event_type = 'signup'),
+        |b AS (SELECT l.event_id AS pid, r.event_id AS bid,
+        |        l.uts - r.uts AS db
+        |      FROM p l ASOF LEFT JOIN s r
+        |        ON l.user_id = r.user_id AND l.uts >= r.uts),
+        |f AS (SELECT l.event_id AS pid, r.event_id AS fid,
+        |        r.uts - l.uts AS df
+        |      FROM p l ASOF LEFT JOIN s r
+        |        ON l.user_id = r.user_id AND l.uts <= r.uts)
+        |SELECT b.pid AS purchase_id,
+        |  CASE WHEN b.bid IS NULL THEN f.fid
+        |       WHEN f.fid IS NULL THEN b.bid
+        |       WHEN b.db <= f.df THEN b.bid ELSE f.fid END
+        |    AS nearest_signup_id
+        |FROM b JOIN f ON b.pid = f.pid""".stripMargin,
+
+    "q_concurrency" ->
+      """WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+        |    300 + event_id % 3600 AS dur FROM events),
+        |d AS (SELECT st AS t, 1 AS d FROM ev
+        |      UNION ALL SELECT st + dur * 1000000, -1 FROM ev),
+        |g AS (SELECT t, CAST(SUM(d) AS BIGINT) AS net FROM d GROUP BY t),
+        |r AS (SELECT t, CAST(SUM(net) OVER (ORDER BY t
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc FROM g)
+        |SELECT t // 3600000000 AS hour_id, MAX(conc) AS max_conc
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q_ewma" ->
+      """WITH o AS (SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events)
+        |SELECT a.user_id, a.event_id,
+        |  ROUND(CAST(SUM(CAST(b.value AS DECIMAL(18,6)) *
+        |      CAST(POWER(9, a.rn - b.rn) * POWER(10, 8 - (a.rn - b.rn))
+        |           AS DECIMAL(12,0))) AS DOUBLE)
+        |    / CAST(SUM(CAST(POWER(9, a.rn - b.rn) *
+        |        POWER(10, 8 - (a.rn - b.rn)) AS DECIMAL(12,0))) AS DOUBLE),
+        |    6) AS ewma9
+        |FROM o a JOIN o b
+        |  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 8 AND a.rn
+        |GROUP BY a.user_id, a.event_id""".stripMargin
   )
 }

@@ -279,6 +279,47 @@ object Relational {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
     }),
 
+    // ---- window: ntile quartiles + partition-wide first_value ----
+    // Row-level ntile is only deterministic up to ties, but the per-
+    // (flag, quartile) AGGREGATE is exactly deterministic: quartile sizes
+    // are fixed by ntile's division rule, and any rows that could swap
+    // across a boundary tie on every sort key — same price — so min/max
+    // per bucket are unaffected.
+    "q_window_ntile" -> ((s, d) => {
+      val ord = Seq(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)
+      // first() over the RUNNING frame is the partition's first row for
+      // every row — same value as a whole-partition frame without an
+      // unboundedFollowing bound (PlanShapeSpec bans those wholesale)
+      val wRun = Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          first(col("l_extendedprice")).over(wRun).as("fv"))
+        .groupBy(col("l_returnflag"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          max(col("fv")).as("flag_min_price"))
+    }),
+
+    // ---- lateral correlated subquery (SQL front): top-2 orders per
+    // customer by price. Catalyst decorrelates the LATERAL + LIMIT into
+    // a window rank over one hash exchange on o_custkey — the same plan
+    // as q_window_rank, not a per-customer nested loop.
+    "q_lateral" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+      Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+      s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+              |FROM customer_lat c,
+              |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat o
+              |         WHERE o.o_custkey = c.c_custkey
+              |         ORDER BY o_totalprice DESC, o_orderkey
+              |         LIMIT 2) t""".stripMargin)
+    }),
+
     // ---- window: running aggregate (frame) ----
     "q_window_running" -> ((s, d) => {
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
@@ -820,6 +861,30 @@ object Relational {
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) AS t WHERE rk <= 3""".stripMargin,
+
+    "q_window_ntile" ->
+      """WITH w AS (SELECT l_returnflag, l_extendedprice,
+        |    NTILE(4) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |      AS quartile,
+        |    FIRST_VALUE(l_extendedprice) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS fv
+        |  FROM lineitem)
+        |SELECT l_returnflag, quartile, COUNT(*) AS n,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price,
+        |  MAX(fv) AS flag_min_price
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "q_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t""".stripMargin,
 
     "q_window_running" ->
       """SELECT l_orderkey, l_linenumber,

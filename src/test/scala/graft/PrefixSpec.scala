@@ -26,6 +26,36 @@ class PrefixSpec extends SparkSuite {
       "prefix-scan result differs from single-partition window reference")
   }
 
+  test("runningMax (inclusive and strict) equals the unpartitioned window") {
+    import spark.implicits._
+    // values deliberately non-monotone so the running max changes hands
+    // across bucket boundaries; 1-row buckets at the tail exercise the
+    // empty-strict-frame -> carry-only path
+    val df = (1L to 3001L).map(i => (i, (i * 7919) % 1000)).toDF("k", "v")
+
+    val wIncl = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wStrict = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+
+    val wantIncl = df.withColumn("m", max(col("v")).over(wIncl))
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toMap
+    val wantStrict = df.withColumn("m", max(col("v")).over(wStrict))
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toMap
+
+    val gotIncl = graft.operators.Prefix.runningMax(df,
+        (col("k") / 500).cast("long"), Seq(col("k")), col("v"), "m")
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toMap
+    val gotStrict = graft.operators.Prefix.runningMax(df,
+        (col("k") / 500).cast("long"), Seq(col("k")), col("v"), "m",
+        inclusive = false)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toMap
+
+    assert(gotIncl == wantIncl)
+    assert(gotStrict == wantStrict)
+    assert(gotStrict(1L).isEmpty) // nothing strictly precedes the first row
+  }
+
   test("fillForward equals the built-in unpartitioned last(ignoreNulls) window") {
     import spark.implicits._
     // synthetic sparse series: leading nulls (no carry available), an
