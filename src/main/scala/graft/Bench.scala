@@ -85,7 +85,8 @@ object Bench {
     * not a claim. */
   val ScaleFamily = Seq("q_dedup_minhash", "q_dedup_embed", "q_ann_lsh_big",
     "q_dup_clusters", "q_dedup_keep_best", "q_span_dedup", "q_fuzzy_join",
-    "q1_agg", "q_sort_global", "q_window_running", "q_join_smj")
+    "q1_agg", "q_sort_global", "q_window_running", "q_join_smj",
+    "q_triangles")
 
   case class ScalePoint(sf01: Double, sf1: Option[Double],
                         cancelledAt: Option[Int], note: Option[String])

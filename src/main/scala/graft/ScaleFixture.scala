@@ -41,10 +41,15 @@ object ScaleFixture {
     * already there; returns the dir. Generation is NOT part of any
     * timed region. (Marker is versioned: v2 added lineitem/orders for
     * the relational scale family; v3 repartitions their writes so the
-    * sf1 scan parallelism matches a real 10x lake.) */
+    * sf1 scan parallelism matches a real 10x lake; v4 shifts
+    * lineitem.l_partkey by the SAME per-replica span as the replicated
+    * part table — 10x the data means 10x the parts with the same
+    * degree distribution, so graph queries over the co-purchase
+    * structure scale the way a real lake does instead of densifying a
+    * fixed node set.) */
   def ensure(spark: SparkSession, baseDir: String, outDir: String,
              factor: Int): String = {
-    val marker = new java.io.File(s"$outDir/_GRAFT_FIXTURE_v3_f$factor")
+    val marker = new java.io.File(s"$outDir/_GRAFT_FIXTURE_v4_f$factor")
     if (marker.exists()) return outDir
     val reps = broadcast(spark.range(factor).select(col("id").as("rep")))
 
@@ -123,8 +128,15 @@ object ScaleFixture {
       .drop("rep")
       .repartition(16)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    // l_partkey shifts by the part table's replica span (its row count,
+    // below) so the replicated lineitem still references the replicated
+    // part table AND the per-replica co-purchase graph is disjoint:
+    // 10x data = 10x nodes at constant degree, not a 10x-denser graph
+    // over a fixed node set.
+    val partSpan = spark.read.parquet(s"$baseDir/part.parquet").count()
     spark.read.parquet(s"$baseDir/lineitem.parquet").crossJoin(reps)
       .withColumn("l_orderkey", col("l_orderkey") + col("rep") * keySpan)
+      .withColumn("l_partkey", col("l_partkey") + col("rep") * partSpan)
       .drop("rep")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")

@@ -83,6 +83,18 @@ object EventsOps {
           col("__match.event_id").as("signup_id"))
     }),
 
+    // rolling active users: DISTINCT users per sliding 1-hour window
+    // every 20 min (the DAU/rolling-active metric). Each event lands in
+    // exactly 3 windows — a bounded 3× expansion, then partial distinct
+    // map-side before the one exchange on (window, user); never a
+    // per-window scan of history.
+    "q_sliding_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "20 minutes"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("ws"), col("n_users"))),
+
     // nearest as-of: each purchase matched to the user's signup CLOSEST
     // in time, either direction (ties -> the earlier one) — the
     // attribution variant when cause/effect direction is unknown
@@ -207,6 +219,17 @@ object EventsOps {
         |ASOF LEFT JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts
         |      FROM events WHERE event_type = 'signup') r
         |ON l.user_id = r.user_id AND l.uts >= r.uts""".stripMargin,
+
+    "q_sliding_distinct" ->
+      """WITH x AS (SELECT user_id,
+        |    TIME_BUCKET(INTERVAL '20 minutes', CAST(ts AS TIMESTAMP)) AS b
+        |  FROM events),
+        |w AS (SELECT user_id, b AS ws FROM x
+        |      UNION ALL SELECT user_id, b - INTERVAL '20 minutes' FROM x
+        |      UNION ALL SELECT user_id, b - INTERVAL '40 minutes' FROM x)
+        |SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS ws,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM w GROUP BY 1""".stripMargin,
 
     "q_asof_nearest" ->
       """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts

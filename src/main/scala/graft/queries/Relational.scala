@@ -136,6 +136,21 @@ object Relational {
           dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ---- shuffled hash join (explicit strategy): same join as
+    // q_join_smj but hinted SHUFFLE_HASH — no sort on either side, the
+    // build side hashed per partition. The right strategy when one side
+    // is much smaller per partition but too big to broadcast; part of
+    // proving the engine exposes ALL of Spark's join strategies, not
+    // just the planner's defaults.
+    "q_join_shash" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d).hint("shuffle_hash")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
     // ---- left semi join (EXISTS) ----
     "q_join_semi" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -318,6 +333,23 @@ object Relational {
               |         WHERE o.o_custkey = c.c_custkey
               |         ORDER BY o_totalprice DESC, o_orderkey
               |         LIMIT 2) t""".stripMargin)
+    }),
+
+    // ---- ordered string aggregation (listagg), bounded per group ----
+    // Unbounded per-group concat is a straggler/OOM factory at lake
+    // scale, so the operator composes a rank cap (top-5 customers by
+    // balance — WindowGroupLimit prunes map-side) with Spark 4's native
+    // ListAgg WITHIN GROUP: group state is ≤ 5 names, ever.
+    "q_string_agg" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_sa")
+      s.sql("""WITH r AS (SELECT c_nationkey, c_name,
+              |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+              |      ORDER BY c_acctbal DESC, c_custkey) AS rk
+              |  FROM customer_sa)
+              |SELECT c_nationkey,
+              |  listagg(c_name, ',') WITHIN GROUP (ORDER BY rk)
+              |    AS top_names
+              |FROM r WHERE rk <= 5 GROUP BY c_nationkey""".stripMargin)
     }),
 
     // ---- window: running aggregate (frame) ----
@@ -773,6 +805,13 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
 
+    "q_join_shash" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
+
     "q_join_semi" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers
         |FROM customer
@@ -885,6 +924,15 @@ object Relational {
         |         WHERE o.o_custkey = c.c_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey
         |         LIMIT 2) t""".stripMargin,
+
+    "q_string_agg" ->
+      """WITH r AS (SELECT c_nationkey, c_name,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer)
+        |SELECT c_nationkey,
+        |  STRING_AGG(c_name, ',' ORDER BY rk) AS top_names
+        |FROM r WHERE rk <= 5 GROUP BY c_nationkey""".stripMargin,
 
     "q_window_running" ->
       """SELECT l_orderkey, l_linenumber,

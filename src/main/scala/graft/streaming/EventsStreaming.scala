@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** One event row as the streaming surface sees it. */
 case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -98,6 +98,39 @@ object EventsStreaming {
     v.join(p, col("v_user") === col("p_user") &&
       col("p_ts") >= col("v_ts") &&
       col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"), joinType)
+  }
+
+  /** transformWithState (Spark 4 arbitrary-stateful-processing v2): a
+    * typed per-user high-water-mark alert — emit (user, value) only
+    * when a purchase exceeds the user's previous maximum. ValueState
+    * lives in the RocksDB state store across micro-batches (v2 state
+    * requires the RocksDB provider); unlike mapGroupsWithState the
+    * handle API composes multiple typed states, timers, and per-state
+    * TTL — this is the engine's exemplar of the v2 API surface. */
+  class HighWaterMarkProcessor
+      extends StatefulProcessor[Long, EventRow, (Long, Double)] {
+    @transient private var hwm: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hwm = getHandle.getValueState[Double]("hwm",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timerValues: TimerValues): Iterator[(Long, Double)] = {
+      val prev = if (hwm.exists()) hwm.get() else Double.NegativeInfinity
+      val top = rows.foldLeft(Double.NegativeInfinity)(
+        (m, e) => math.max(m, e.value))
+      if (top > prev) { hwm.update(top); Iterator.single((key, top)) }
+      else Iterator.empty
+    }
+  }
+
+  /** New per-user maxima as they stream in (see
+    * [[HighWaterMarkProcessor]]). */
+  def highWaterMarks(spark: SparkSession,
+                     events: Dataset[EventRow]): Dataset[(Long, Double)] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new HighWaterMarkProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Stream-static enrichment join: every micro-batch joins against a

@@ -82,6 +82,17 @@ class PlanShapeSpec extends SparkSuite {
       s"bloom probe must not fall back to a UDF:\n${p.take(2000)}")
   }
 
+  test("hinted join strategies actually plan their strategy") {
+    // the SHUFFLE_HASH hint silently degrades to SMJ if the hint is
+    // dropped (renamed column, subquery boundary) — pin the strategy
+    assert(plan("q_join_shash").contains("ShuffledHashJoin"),
+      "q_join_shash must plan a ShuffledHashJoin")
+    assert(plan("q_join_smj").contains("SortMergeJoin"),
+      "q_join_smj must plan a SortMergeJoin")
+    assert(plan("q_join_bcast").contains("BroadcastHashJoin"),
+      "q_join_bcast must plan a BroadcastHashJoin")
+  }
+
   test("quality filter broadcasts the corpus statistic") {
     val p = plan("q_quality_filter")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

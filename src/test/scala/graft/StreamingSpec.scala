@@ -65,6 +65,40 @@ class StreamingSpec extends SparkSuite {
     assert(last.getLong(0) == 3 && last.getDouble(1) == 10.0)
   }
 
+  test("transformWithState emits only new per-user high-water marks") {
+    implicit val sq = spark.sqlContext
+    // v2 stateful processing requires the RocksDB state store provider;
+    // scope it to this query and restore whatever was set before
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[EventRow]
+      val q = EventsStreaming.highWaterMarks(spark, in.toDS())
+        .toDF("user_id", "hwm")
+        .writeStream.outputMode("update")
+        .format("memory").queryName("hwm_out").start()
+      in.addData(ev(1, 1, user = 7, v = 2.0), ev(2, 2, user = 7, v = 5.0))
+      q.processAllAvailable()
+      in.addData(ev(3, 3, user = 7, v = 4.0)) // below the mark -> silent
+      q.processAllAvailable()
+      in.addData(ev(4, 4, user = 7, v = 9.0), // new mark
+                 ev(5, 4, user = 8, v = 1.0)) // first sighting of user 8
+      q.processAllAvailable(); q.stop()
+      val got = spark.sql("SELECT user_id, hwm FROM hwm_out")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      // batch1 emits user7's 5.0 (max over the batch), batch2 nothing,
+      // batch3 user7's 9.0 and user8's 1.0 — state crossed batches
+      assert(got == Seq((7L, 5.0), (7L, 9.0), (8L, 1.0)), s"got $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[EventRow]
