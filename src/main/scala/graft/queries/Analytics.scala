@@ -509,6 +509,39 @@ object Analytics {
         .orderBy(col("n_triangles").desc, col("p_partkey")).limit(20)
     }),
 
+    // ---- rare-category collapse: fold categories with < 15 members
+    // into 'OTHER' (the standard cardinality-control step before
+    // one-hot/embedding features). One partial+final aggregate over the
+    // facts; the collapse itself re-aggregates the DIM-sized count
+    // table — no second pass over data.
+    "q_rare_collapse" -> ((s, d) =>
+      Tables.part(s, d)
+        .groupBy(col("p_type")).agg(count(lit(1)).as("n"))
+        .groupBy(when(col("n") < 15, lit("OTHER")).otherwise(col("p_type"))
+          .as("category"))
+        .agg(sum(col("n")).as("n_parts"),
+          count(lit(1)).as("n_merged_types"))),
+
+    // ---- portable order-independent table fingerprint (the TeraValidate
+    // role: prove two engines hold the SAME multiset of rows without
+    // sorting anything). Per row: md5 of a canonical key projection, the
+    // first 8 hex digits converted positionally (instr in a hex
+    // alphabet — no engine-specific conv()), then two order-free
+    // combiners: SUM and BIT_XOR. Map-side partial aggregation; the
+    // shuffle carries 3 numbers.
+    "q_checksum" -> ((s, d) => {
+      val hexes = "0123456789abcdef"
+      val h = md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus")))
+      val rowVal = (0 until 8).map { j =>
+        (instr(lit(hexes), substring(h, j + 1, 1)) - 1).cast("long") *
+          (1L << (4 * j))
+      }.reduce(_ + _)
+      Tables.lineitem(s, d).select(rowVal.as("rv"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("rv")).as("sum_check"),
+          expr("bit_xor(rv)").as("xor_check"))
+    }),
+
     // ---- SQL front door: the same engine surface through spark.sql over
     // registered views, with an explicit BROADCAST hint — proving a SQL-
     // only user gets the identical (broadcast-dim, fact-shuffles-once)
@@ -787,6 +820,28 @@ object Analytics {
         |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS clipped_share
         |FROM lineitem l JOIN bounds b USING (l_returnflag)
         |GROUP BY l.l_returnflag""".stripMargin,
+
+    "q_rare_collapse" ->
+      """WITH c AS (SELECT p_type, COUNT(*) AS n FROM part GROUP BY p_type)
+        |SELECT CASE WHEN n < 15 THEN 'OTHER' ELSE p_type END AS category,
+        |  CAST(SUM(n) AS BIGINT) AS n_parts, COUNT(*) AS n_merged_types
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q_checksum" ->
+      """WITH r AS (SELECT md5(CONCAT_WS('|', l_orderkey, l_linenumber,
+        |    l_returnflag, l_linestatus)) AS h FROM lineitem),
+        |v AS (SELECT
+        |    (INSTR('0123456789abcdef', SUBSTRING(h, 1, 1)) - 1) * 1
+        |  + (INSTR('0123456789abcdef', SUBSTRING(h, 2, 1)) - 1) * 16
+        |  + (INSTR('0123456789abcdef', SUBSTRING(h, 3, 1)) - 1) * 256
+        |  + (INSTR('0123456789abcdef', SUBSTRING(h, 4, 1)) - 1) * 4096
+        |  + (INSTR('0123456789abcdef', SUBSTRING(h, 5, 1)) - 1) * 65536
+        |  + (INSTR('0123456789abcdef', SUBSTRING(h, 6, 1)) - 1) * 1048576
+        |  + (INSTR('0123456789abcdef', SUBSTRING(h, 7, 1)) - 1) * 16777216
+        |  + (INSTR('0123456789abcdef', SUBSTRING(h, 8, 1)) - 1) * 268435456
+        |    AS rv FROM r)
+        |SELECT COUNT(*) AS n_rows, CAST(SUM(rv) AS BIGINT) AS sum_check,
+        |  CAST(BIT_XOR(rv) AS BIGINT) AS xor_check FROM v""".stripMargin,
 
     "q_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -83,6 +83,30 @@ object EventsOps {
           col("__match.event_id").as("signup_id"))
     }),
 
+    // time-weighted average: each reading holds until the user's next
+    // event, so its weight is that duration in seconds (the last reading
+    // of a series has no horizon and is excluded) — the correct mean for
+    // irregularly-sampled telemetry, where a plain avg over-weights
+    // bursts. One partitioned window (lead), then decimal-exact
+    // sum(v·w)/sum(w) per user, divided once as doubles.
+    "q_time_weighted_avg" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("_next", lead(col("ts"), 1).over(w))
+        .filter(col("_next").isNotNull)
+        .withColumn("_w",
+          ((unix_micros(col("_next")) - unix_micros(col("ts"))) / 1000000L)
+            .cast("decimal(19,6)"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(12,6)") * col("_w"))
+            .as("_num"),
+          sum(col("_w")).as("_den"), count(lit(1)).as("n_intervals"))
+        .select(col("user_id"), col("n_intervals"),
+          round(col("_num").cast("double") / col("_den").cast("double"), 6)
+            .as("twa_value"))
+    }),
+
     // rolling active users: DISTINCT users per sliding 1-hour window
     // every 20 min (the DAU/rolling-active metric). Each event lands in
     // exactly 3 windows — a bounded 3× expansion, then partial distinct
@@ -219,6 +243,19 @@ object EventsOps {
         |ASOF LEFT JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts
         |      FROM events WHERE event_type = 'signup') r
         |ON l.user_id = r.user_id AND l.uts >= r.uts""".stripMargin,
+
+    "q_time_weighted_avg" ->
+      """WITH o AS (SELECT user_id, event_id, value,
+        |    CAST(ts AS TIMESTAMP) AS uts FROM events),
+        |l AS (SELECT user_id, value,
+        |    CAST((epoch_us(LEAD(uts) OVER (PARTITION BY user_id
+        |        ORDER BY uts, event_id)) - epoch_us(uts)) / 1000000
+        |      AS DECIMAL(19,6)) AS w
+        |  FROM o)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(12,6)) * w) AS DOUBLE)
+        |        / CAST(SUM(w) AS DOUBLE), 6) AS twa_value
+        |FROM l WHERE w IS NOT NULL GROUP BY user_id""".stripMargin,
 
     "q_sliding_distinct" ->
       """WITH x AS (SELECT user_id,
