@@ -215,11 +215,21 @@ object Bench {
           None
       } finally { timer.cancel(); sc.clearJobGroup() }
     }
+    // this host suffers transient multi-minute stalls from OUTSIDE the
+    // container (a ~30 s sf1 point has measured 170+ s while the
+    // min-of-3 sf0.1 suite showed zero contention); a single-shot scale
+    // point absorbs a stall invisibly, so take min-of-2 — a stall must
+    // span both runs to survive into the exponent
+    def minOf2(label: String, mk: String => DataFrame, d: String,
+               cancelAfterSec: Option[Int]): Option[Double] =
+      run(label, mk, d, cancelAfterSec).map { a =>
+        run(label, mk, d, cancelAfterSec).fold(a)(math.min(a, _))
+      }
     val pts = entries.flatMap { case (label, mk) =>
       try {
         val sf01 = timings.get(label)
-          .orElse(run(label, mk, sfDir, None))
-        val sf1 = run(label, mk, outDir, Some(timeoutSec))
+          .orElse(minOf2(label, mk, sfDir, None))
+        val sf1 = minOf2(label, mk, outDir, Some(timeoutSec))
         sf01.map(s01 => label -> ScalePoint(s01, sf1,
           if (sf1.isEmpty) Some(timeoutSec) else None, scaleNotes.get(label)))
       } catch { case e: Throwable =>

@@ -100,6 +100,36 @@ object LlmOps {
         threshold = 0.9, dim = EMBED_DIM, bits = 64, bands = 4, numSigs = 32)
     }),
 
+    // embedding-space outlier report: the 5 vectors per label FURTHEST
+    // (by cosine) from their label's centroid — the mislabeled/corrupt-
+    // example scan of an embedding-quality pipeline. The centroid is the
+    // per-dimension SUM (cosine is scale-invariant, so sum == mean with
+    // no division to drift across engines), accumulated in decimals so
+    // the cross-row reduction is order-independent; cosines are then
+    // pure per-row double math on identical inputs. Centroid table is
+    // nLabels×dim — broadcast; the corpus is scanned once for the
+    // component aggregate and once for the scoring pass.
+    "q_outlier_embed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val comp = e
+        .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("x").cast("decimal(18,9)")).as("sx"))
+      val cent = comp.groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("sx")))),
+          t => t.getField("sx").cast("double")).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label")).orderBy(col("cos_c"), col("vec_id"))
+      e.join(broadcast(cent), "label")
+        .withColumn("cos_c",
+          graft.vector.VectorFunctions.cosineRounded(col("v"), col("c"), 3))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("label"), col("vec_id"), col("cos_c"))
+    }),
+
     "q_ann_cosine" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Ann.bruteForceTopK(e.filter(col("vec_id") < 10), e,
@@ -620,6 +650,23 @@ object LlmOps {
         |FROM aug a, aug b
         |WHERE a.vec_id < b.vec_id
         |  AND ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 3) >= 0.9""".stripMargin,
+
+    "q_outlier_embed" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT label, UNNEST(v) AS x,
+        |    GENERATE_SUBSCRIPTS(v, 1) AS dim FROM e),
+        |comp AS (SELECT label, dim, SUM(CAST(x AS DECIMAL(18,9))) AS sx
+        |  FROM x GROUP BY label, dim),
+        |cent AS (SELECT label, LIST(CAST(sx AS DOUBLE) ORDER BY dim) AS c
+        |  FROM comp GROUP BY label),
+        |s AS (SELECT e.vec_id, e.label,
+        |    ROUND(LIST_COSINE_SIMILARITY(e.v, cent.c), 3) AS cos_c
+        |  FROM e JOIN cent USING (label))
+        |SELECT label, vec_id, cos_c FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+        |    ORDER BY cos_c, vec_id) AS rk FROM s) t
+        |WHERE rk <= 5""".stripMargin,
 
     "q_ann_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
