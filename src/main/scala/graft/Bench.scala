@@ -350,33 +350,42 @@ object Bench {
     // min-of-2 inside one contended window cannot (round 3's 268 s
     // q_dedup_minhash re-measured at 8.2 s on a quiet host). Per-query
     // max/min spread > 3x is flagged as contended in the file artifact.
+    // Runs are ROUND-ROBIN (3 passes over the whole suite), not
+    // back-to-back per query: this host's external stalls last minutes,
+    // so consecutive runs of a sub-second query can ALL land inside one
+    // stall and the min is garbage with a clean spread (observed:
+    // q_window_running 27.8 s min-of-3, spread 1.0, real time 0.6 s).
+    // Interleaving puts a full suite pass (~minutes) between a query's
+    // runs — a stall now inflates one run of several queries, which
+    // min-of-3 rejects, instead of every run of one query.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val timings = collection.mutable.LinkedHashMap[String, Double]()
-    val allRuns = collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val allRuns = collection.mutable.LinkedHashMap[String, Vector[Double]]()
     val rowCounts = collection.mutable.LinkedHashMap[String, Long]()
     val errors = collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val times = (1 to nRuns).flatMap { i =>
-        val obs = if (i == nRuns) Some(new Observation(s"rows_$name")) else None
-        val t0 = System.nanoTime()
-        try {
-          val df = fn(spark, sfDir)
-          val tapped = obs.map(o => df.observe(o, count(lit(1)).as("rows"))).getOrElse(df)
-          tapped.write.format("noop").mode("overwrite").save()
-          obs.foreach(o => rowCounts(name) = o.get("rows").asInstanceOf[Long])
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
-          errors(name) = msg
-          System.err.println(s"[bench] $name FAILED run $i: $msg")
-          None
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    (1 to nRuns).foreach { pass =>
+      named.foreach { case (name, fn) =>
+        if (!errors.contains(name)) {
+          val obs = if (pass == nRuns) Some(new Observation(s"rows_$name")) else None
+          val t0 = System.nanoTime()
+          try {
+            val df = fn(spark, sfDir)
+            val tapped = obs.map(o => df.observe(o, count(lit(1)).as("rows"))).getOrElse(df)
+            tapped.write.format("noop").mode("overwrite").save()
+            obs.foreach(o => rowCounts(name) = o.get("rows").asInstanceOf[Long])
+            allRuns(name) =
+              allRuns.getOrElse(name, Vector.empty) :+ (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+            errors(name) = msg
+            System.err.println(s"[bench] $name FAILED pass $pass: $msg")
+          }
         }
       }
-      if (times.nonEmpty && !errors.contains(name)) {
-        timings(name) = times.min
-        allRuns(name) = times
-      }
     }
+    errors.keys.foreach(allRuns.remove)
+    allRuns.foreach { case (name, times) => timings(name) = times.min }
     // The driver captures only the TAIL of stdout (observed cap: 2000 chars),
     // so the metric line must stay well under that or its head is truncated
     // and the JSON never parses (this bit rounds 1 and 2). Keep the line
