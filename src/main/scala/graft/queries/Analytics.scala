@@ -509,6 +509,35 @@ object Analytics {
         .orderBy(col("n_triangles").desc, col("p_partkey")).limit(20)
     }),
 
+    // ---- 2-D histogram (the heatmap/profiling binning): fixed-width
+    // integer bins on (quantity, discount) — one partial+final
+    // aggregate over the facts, bin count bounded by the value domains,
+    // never by data size.
+    "q_histogram2d" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(floor(col("l_quantity") / 10).cast("long").as("bin_qty"),
+          floor(col("l_discount") * 50).cast("long").as("bin_disc"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))),
+
+    // ---- per-group min-max normalization (feature scaling): group
+    // bounds are a dim-sized aggregate broadcast back to the facts; the
+    // normalized value is one map-side expression. Constant groups
+    // (max == min) emit null, not a division blow-up.
+    "q_minmax_norm" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val bounds = o.groupBy(col("o_orderpriority"))
+        .agg(min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+      o.filter(col("o_orderkey") < 1000)
+        .join(broadcast(bounds), "o_orderpriority")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          when(col("hi") =!= col("lo"),
+            round((col("o_totalprice") - col("lo")) / (col("hi") - col("lo")),
+              6)).as("price_norm"))
+    }),
+
     // ---- rare-category collapse: fold categories with < 15 members
     // into 'OTHER' (the standard cardinality-control step before
     // one-hot/embedding features). One partial+final aggregate over the
@@ -820,6 +849,24 @@ object Analytics {
         |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS clipped_share
         |FROM lineitem l JOIN bounds b USING (l_returnflag)
         |GROUP BY l.l_returnflag""".stripMargin,
+
+    "q_histogram2d" ->
+      """SELECT CAST(FLOOR(l_quantity / 10) AS BIGINT) AS bin_qty,
+        |  CAST(FLOOR(l_discount * 50) AS BIGINT) AS bin_disc,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q_minmax_norm" ->
+      """WITH b AS (SELECT o_orderpriority, MIN(o_totalprice) AS lo,
+        |    MAX(o_totalprice) AS hi FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderkey, o.o_orderpriority,
+        |  CASE WHEN hi <> lo
+        |    THEN ROUND((o_totalprice - lo) / (hi - lo), 6) END
+        |    AS price_norm
+        |FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
+        |WHERE o_orderkey < 1000""".stripMargin,
 
     "q_rare_collapse" ->
       """WITH c AS (SELECT p_type, COUNT(*) AS n FROM part GROUP BY p_type)
