@@ -86,10 +86,24 @@ object Bench {
   val ScaleFamily = Seq("q_dedup_minhash", "q_dedup_embed", "q_ann_lsh_big",
     "q_dup_clusters", "q_dedup_keep_best", "q_span_dedup", "q_fuzzy_join",
     "q1_agg", "q_sort_global", "q_window_running", "q_join_smj",
-    "q_triangles")
+    "q_triangles", "q_topk_group", "q_cube", "q_star_join",
+    "q_gap_fill_keyed")
 
+  /** `loadMax` is the highest 1-minute load average observed across
+    * this point's runs — an exponent or a cancel measured above
+    * [[LoadFlagThreshold]] is host noise, not plan cost, and is
+    * flagged as such in the artifact rather than trusted. */
   case class ScalePoint(sf01: Double, sf1: Option[Double],
-                        cancelledAt: Option[Int], note: Option[String])
+                        cancelledAt: Option[Int], note: Option[String],
+                        loadMax: Double = 0.0)
+
+  /** 1-minute load above which a scale measurement is untrustworthy on
+    * this 32-cpu host (r7's driver run started at load 19.4 and
+    * cancelled two sf1 points a quiet host completes in 39 s / 247 s). */
+  val LoadFlagThreshold = 8.0
+
+  private def loadAvg1m: Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
 
   /** Intrinsically-superlinear entries get their reason IN the
     * artifact, next to the number, where the round record is read. */
@@ -218,20 +232,38 @@ object Bench {
     // this host suffers transient multi-minute stalls from OUTSIDE the
     // container (a ~30 s sf1 point has measured 170+ s while the
     // min-of-3 sf0.1 suite showed zero contention); a single-shot scale
-    // point absorbs a stall invisibly, so take min-of-2 — a stall must
-    // span both runs to survive into the exponent
+    // point absorbs a stall invisibly, so take min-of-2 — BOTH runs are
+    // always attempted (a timeout-cancelled first run does not
+    // short-circuit the second), so a stall must span both to survive
+    // into the exponent
     def minOf2(label: String, mk: String => DataFrame, d: String,
-               cancelAfterSec: Option[Int]): Option[Double] =
-      run(label, mk, d, cancelAfterSec).map { a =>
-        run(label, mk, d, cancelAfterSec).fold(a)(math.min(a, _))
-      }
+               cancelAfterSec: Option[Int]): Option[Double] = {
+      val a = run(label, mk, d, cancelAfterSec)
+      val b = run(label, mk, d, cancelAfterSec)
+      val both: Seq[Double] = a.toSeq ++ b.toSeq
+      if (both.isEmpty) None else Some(both.min)
+    }
     val pts = entries.flatMap { case (label, mk) =>
       try {
+        var loadMax = loadAvg1m
         val sf01 = timings.get(label)
           .orElse(minOf2(label, mk, sfDir, None))
-        val sf1 = minOf2(label, mk, outDir, Some(timeoutSec))
+        loadMax = math.max(loadMax, loadAvg1m)
+        var sf1 = minOf2(label, mk, outDir, Some(timeoutSec))
+        loadMax = math.max(loadMax, loadAvg1m)
+        if (sf1.isEmpty && loadMax > LoadFlagThreshold) {
+          // a cancel measured under heavy external load is host noise —
+          // give the point one more (pair of) chance(s) rather than
+          // recording a bogus cancelled_at_sec
+          System.err.println(s"[bench] scale $label cancelled under " +
+            f"load $loadMax%.1f - retrying once")
+          loadMax = loadAvg1m
+          sf1 = minOf2(label, mk, outDir, Some(timeoutSec))
+          loadMax = math.max(loadMax, loadAvg1m)
+        }
         sf01.map(s01 => label -> ScalePoint(s01, sf1,
-          if (sf1.isEmpty) Some(timeoutSec) else None, scaleNotes.get(label)))
+          if (sf1.isEmpty) Some(timeoutSec) else None, scaleNotes.get(label),
+          loadMax))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale point $label failed: $e")
         None
@@ -279,9 +311,12 @@ object Bench {
           .getOrElse("null")
         val cancelled = p.cancelledAt
           .map(s => s""","cancelled_at_sec":$s""").getOrElse("")
+        val loadFlag = if (p.loadMax > LoadFlagThreshold)
+          s""","load_flagged":true""" else ""
         val note = p.note.map(n => s""","note":"${jesc(n)}"""").getOrElse("")
         s"""    "$k": {"sf01_sec":${f3(p.sf01)},"sf1_sec":$sf1,""" +
-          s""""exponent":$exp$cancelled$note}"""
+          s""""exponent":$exp,"load_avg_1m":${f"${p.loadMax}%.2f"}""" +
+          s"""$cancelled$loadFlag$note}"""
       }.mkString(",\n")
       val nContended = timings.keys.count { name =>
         val runs = allRuns.getOrElse(name, Seq.empty)
@@ -311,7 +346,7 @@ object Bench {
            |  },
            |  "scale_points": {
            |    "factor": $scaleFactor,
-           |    "note": "exponent = log(t_sf1/t_sf0.1)/log(factor); fixture is ScaleFixture's replica-salted 10x (per-replica dup structure preserved, cross-replica decorrelated, block-key cardinality scales with data)",
+           |    "note": "exponent = log(t_sf1/t_sf0.1)/log(factor); fixture is ScaleFixture's replica-salted 10x (per-replica dup structure preserved, cross-replica decorrelated, block-key cardinality scales with data); load_avg_1m is the max 1-min load observed across the point's runs - load_flagged (>${LoadFlagThreshold.toInt}) marks the exponent/cancel as host noise, and a cancel under such load is retried once before being recorded",
            |    "queries": {
            |$sc
            |    }

@@ -128,12 +128,16 @@ object ScaleFixture {
       .drop("rep")
       .repartition(16)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
-    // l_partkey shifts by the part table's replica span (its row count,
-    // below) so the replicated lineitem still references the replicated
-    // part table AND the per-replica co-purchase graph is disjoint:
-    // 10x data = 10x nodes at constant degree, not a 10x-denser graph
-    // over a fixed node set.
-    val partSpan = spark.read.parquet(s"$baseDir/part.parquet").count()
+    // l_partkey shifts by the part table's replica span — max(key)+1,
+    // the same keySpan pattern as orders, NOT row count, so a sparse or
+    // 1-based key space cannot silently overlap replica ranges (which
+    // would densify the graph and break the lineitem→part FK) — so the
+    // replicated lineitem still references the replicated part table
+    // AND the per-replica co-purchase graph is disjoint: 10x data =
+    // 10x nodes at constant degree, not a 10x-denser graph over a
+    // fixed node set.
+    val partSpan = spark.read.parquet(s"$baseDir/part.parquet")
+      .agg(max(col("p_partkey").cast("long"))).head().getLong(0) + 1
     spark.read.parquet(s"$baseDir/lineitem.parquet").crossJoin(reps)
       .withColumn("l_orderkey", col("l_orderkey") + col("rep") * keySpan)
       .withColumn("l_partkey", col("l_partkey") + col("rep") * partSpan)
@@ -143,11 +147,10 @@ object ScaleFixture {
 
     // ---- part -------------------------------------------------------
     val part = spark.read.parquet(s"$baseDir/part.parquet")
-    val nPart = part.count()
     val sizeSpan = part.agg(max(col("p_size"))).head().getInt(0)
     part.crossJoin(reps)
       .select(
-        (col("p_partkey") + col("rep") * nPart).as("p_partkey"),
+        (col("p_partkey") + col("rep") * partSpan).as("p_partkey"),
         col("p_name"), col("p_brand"), col("p_type"),
         (col("p_size") + col("rep") * sizeSpan).as("p_size"),
         col("p_retailprice"))

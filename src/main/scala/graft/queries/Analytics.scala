@@ -475,9 +475,21 @@ object Analytics {
     // wedge join's per-node fan-out is bounded by the oriented
     // out-degree — O(√m) — instead of a hub part's full degree (the
     // naive id-oriented wedge join measured ~5× slower at sf0.1, and
-    // the gap widens with any degree skew). Two hash exchanges; nothing
-    // broadcastable. Output: top-20 parts by triangle participation
-    // (count desc, partkey asc — a total order).
+    // the gap widens with any degree skew). Closing uses the
+    // EDGE-ITERATOR form, not a wedge join: each oriented edge (u,v)
+    // pulls the out-adjacency arrays of both endpoints and intersects
+    // them (hash-set array_intersect), so the O(Σ outdeg²) wedge set —
+    // 41 M rows at sf0.1, 34× the edge list — is never materialized or
+    // shuffled; only |E| edges, |E| adjacency entries, and the actual
+    // triangles move. Adjacency arrays stay O(√m) entries by the
+    // orientation, so no collect_list blow-up under hub skew. The edge
+    // list feeds four plan branches (degree count, orientation,
+    // adjacency); localCheckpoint computes it once instead of
+    // re-deriving the lineitem self-join under every branch (the
+    // unmaterialized plan had 28 lineitem scans). shuffle_hash on the
+    // adjacency probes: the build side is the node-sized adjacency
+    // table and the edge stream is never sorted. Output: top-20 parts
+    // by triangle participation (count desc, partkey asc — total order).
     "q_triangles" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -485,6 +497,7 @@ object Analytics {
       val e = li.as("x").join(li.as("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        .localCheckpoint()
       val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
       val fwd = col("da") < col("db") ||
@@ -494,15 +507,17 @@ object Analytics {
         .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
         .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
           when(fwd, col("b")).otherwise(col("a")).as("v"))
-      // out-wedges at the min vertex, other two endpoints in id order so
-      // the closing probe hits the undirected (a<b) edge list directly
-      val w = ed.as("e1").join(ed.as("e2"),
-          col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-        .select(col("e1.u").as("wa"), col("e1.v").as("wb"),
-          col("e2.v").as("wc"))
-      val tri = w.join(e.as("e3"),
-          col("wb") === col("e3.a") && col("wc") === col("e3.b"))
-        .select(col("wa"), col("wb"), col("wc"))
+        .localCheckpoint()
+      val adj = ed.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
+      // triangle (u, v, c) closes at oriented edge (u,v) for every c in
+      // outNbrs(u) ∩ outNbrs(v); empty intersections vanish at explode
+      val tri = ed
+        .join(adj.hint("shuffle_hash")
+          .select(col("u"), col("nbrs").as("nu")), "u")
+        .join(adj.hint("shuffle_hash")
+          .select(col("u").as("v"), col("nbrs").as("nv")), "v")
+        .select(col("u").as("wa"), col("v").as("wb"),
+          explode(array_intersect(col("nu"), col("nv"))).as("wc"))
       tri.select(explode(array(col("wa"), col("wb"), col("wc")))
           .as("p_partkey"))
         .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_triangles"))
