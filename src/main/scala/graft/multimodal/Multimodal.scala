@@ -25,6 +25,14 @@ case class MediaFeatures(
 case class MediaMeta(kind: String, width: Option[Int], height: Option[Int],
                      channels: Int, nFrames: Int)
 
+/** One resampled asset: dims/frames of the output container plus a
+  * position-weighted checksum over the resampled payload bytes (weights
+  * break the flip/transpose symmetries a plain sum cannot see). */
+case class ResizedMedia(doc_id: Long, kind: Option[String],
+                        out_w: Option[Int], out_h: Option[Int],
+                        out_frames: Option[Int], resized_len: Option[Int],
+                        checksum: Option[Long])
+
 /** Multimodal-column plumbing: treat image/audio/video as opaque
   * `binary` columns plus typed metadata, and run decode/feature-extract
   * as a partition-wise batch operator.
@@ -145,25 +153,146 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
-  /** STUB resize: deterministic byte-decimation of the payload (every
-    * `factor`-th byte) — stands in for image/audio resampling. Map-only:
-    * the payload is rewritten in place in its partition, never shuffled;
-    * a real resampler swaps in with the same bytes→bytes signature. */
-  def resizePayload(spark: SparkSession, docs: DataFrame,
-                    factor: Int): DataFrame = {
-    import spark.implicits._
-    withBinaryPayload(docs)
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val out = new Array[Byte]((bytes.length + factor - 1) / factor)
-          var i = 0
-          while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
-          (id, out, bytes.length, out.length)
+  // ---- real resampling ------------------------------------------------
+
+  /** Deterministic media byte for the decodable fixture — a pure
+    * function of (doc_id, position), so the DuckDB oracle predicts
+    * every byte the resampler is supposed to keep. For BMP, (x, y, c)
+    * are pixel coordinates + channel; for WAV, (frame, byteInSample,
+    * channel). */
+  private[graft] def mediaByte(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id * 31 + x * 7 + y * 13 + c * 17) % 256).toInt
+
+  private def bmpStride(w: Int): Int = ((w * 3 + 3) / 4) * 4
+
+  /** A FULLY decodable container: the BMP carries a real bottom-up
+    * 4-byte-row-aligned 24 bpp pixel array and the WAV a real PCM16
+    * frame sequence, every byte [[mediaByte]]-deterministic in
+    * (doc_id, n_chars) — unlike [[synthesizePayload]], whose data
+    * region is opaque text. `% 11 == 3` ids stay junk. */
+  private[graft] def synthesizeDecodableMedia(id: Long,
+                                              nChars: Long): Array[Byte] =
+    if (id % 11 == 3) "BAD!".getBytes("US-ASCII")
+    else if (id % 2 == 0) {
+      val w = (nChars % 64 + 1).toInt
+      val h = ((nChars / 64) % 64 + 1).toInt
+      val stride = bmpStride(w)
+      val data = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) {
+            // bottom-up row order, per the BMP spec
+            data((h - 1 - y) * stride + x * 3 + c) = mediaByte(id, x, y, c).toByte
+            c += 1
+          }
+          x += 1
         }
+        y += 1
       }
-      .toDF("doc_id", "payload", "orig_len", "resized_len")
+      bmpPayload(w, h, data)
+    } else {
+      val ch = (nChars % 2 + 1).toInt
+      val nf = (nChars % 50 + 5).toInt
+      val data = new Array[Byte](2 * ch * nf)
+      var i = 0
+      while (i < nf) {
+        var c = 0
+        while (c < ch) {
+          data(i * 2 * ch + c * 2) = mediaByte(id, i, 0, c).toByte
+          data(i * 2 * ch + c * 2 + 1) = mediaByte(id, i, 1, c).toByte
+          c += 1
+        }
+        i += 1
+      }
+      wavPayload(ch, data)
+    }
+
+  /** REAL 2× nearest-neighbor downsample of a decoded BMP pixel array
+    * (stride-aware, bottom-up) — output pixel (x2, y2) = input
+    * (2·x2, 2·y2) — re-encoded as a valid BMP; returns the new payload
+    * and the weighted checksum over the resampled pixels. */
+  private[graft] def resizeBmp(b: Array[Byte]): (Array[Byte], Long) = {
+    val w = rd32(b, 18); val h = rd32(b, 22); val dataOff = rd32(b, 10)
+    val stride = bmpStride(w)
+    val w2 = (w + 1) / 2; val h2 = (h + 1) / 2
+    val stride2 = bmpStride(w2)
+    val out = new Array[Byte](stride2 * h2)
+    var sum = 0L
+    var y2 = 0
+    while (y2 < h2) {
+      var x2 = 0
+      while (x2 < w2) {
+        var c = 0
+        while (c < 3) {
+          val px = b(dataOff + (h - 1 - 2 * y2) * stride + 2 * x2 * 3 + c) & 0xFF
+          out((h2 - 1 - y2) * stride2 + x2 * 3 + c) = px.toByte
+          sum += px.toLong * (1 + (x2 * 5 + y2 * 3 + c) % 7)
+          c += 1
+        }
+        x2 += 1
+      }
+      y2 += 1
+    }
+    (bmpPayload(w2, h2, out), sum)
+  }
+
+  /** REAL 2× decimation of a decoded WAV frame sequence (every even
+    * frame survives, all channels of its PCM16 sample kept intact),
+    * re-encoded as a valid WAV; returns the new payload and the
+    * weighted checksum over the surviving sample bytes. */
+  private[graft] def resizeWav(b: Array[Byte]): (Array[Byte], Long) = {
+    val ch = rd16(b, 22); val blockAlign = rd16(b, 32)
+    val frames = rd32(b, 40) / blockAlign
+    val outFrames = (frames + 1) / 2
+    val out = new Array[Byte](blockAlign * outFrames)
+    var sum = 0L
+    var j = 0
+    while (j < outFrames) {
+      System.arraycopy(b, 44 + 2 * j * blockAlign, out, j * blockAlign,
+        blockAlign)
+      var c = 0
+      while (c < ch) {
+        var bb = 0
+        while (bb < 2) {
+          val v = out(j * blockAlign + c * 2 + bb) & 0xFF
+          sum += v.toLong * (1 + (j * 5 + c * 3 + bb) % 7)
+          bb += 1
+        }
+        c += 1
+      }
+      j += 1
+    }
+    (wavPayload(ch, out), sum)
+  }
+
+  /** Partition-wise media resampling: synthesize the decodable
+    * container, decode it, and resample for real — 2× nearest-neighbor
+    * pixel downsample for images, 2× frame decimation for audio —
+    * re-encoding a valid container either way. Map-only: the payload
+    * never leaves its input partition; only the small per-asset summary
+    * row (dims, re-encoded length, weighted checksum) flows downstream.
+    * Malformed payloads yield a null-feature row, never a task failure. */
+  def resizeMedia(spark: SparkSession, docs: DataFrame): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val bytes = synthesizeDecodableMedia(id, nChars)
+        decodeHeader(bytes) match {
+          case Some(m) if m.kind == "bmp" =>
+            val (out, sum) = resizeBmp(bytes)
+            ResizedMedia(id, Some("bmp"), Some((m.width.get + 1) / 2),
+              Some((m.height.get + 1) / 2), None, Some(out.length), Some(sum))
+          case Some(m) =>
+            val (out, sum) = resizeWav(bytes)
+            ResizedMedia(id, Some("wav"), None, None,
+              Some((m.nFrames + 1) / 2), Some(out.length), Some(sum))
+          case None =>
+            ResizedMedia(id, None, None, None, None, None, None)
+        }
+      })
   }
 
   /** Frame sampling: every `step`-th fixed-size frame of the payload,

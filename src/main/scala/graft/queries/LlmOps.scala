@@ -234,6 +234,9 @@ object LlmOps {
       Multimodal.sampleFrames(s, Tables.documents(s, d),
         frameSize = 256, step = 4).toDF()),
 
+    "q_mm_resize" -> ((s, d) =>
+      Multimodal.resizeMedia(s, Tables.documents(s, d)).toDF()),
+
     // Overlapping token-window chunking — the standard pre-training /
     // RAG document-splitting step (32-token windows, stride 24 → 8-token
     // overlap). Pure map-side: split → posexplode over computed starts →
@@ -919,7 +922,54 @@ object LlmOps {
         |    WHEN doc_id % 2 = 0 THEN 1
         |    ELSE OCTET_LENGTH(ENCODE(text)) // (2 * (n_chars % 2 + 1))
         |    END AS INT) AS n_frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // the resample oracle PREDICTS the weighted checksum over exactly
+    // the pixels / sample bytes a correct 2x nearest-neighbor
+    // downsample (stride-aware, bottom-up rows) / 2x frame decimation
+    // must keep: the fixture pixel at (x,y,c) is
+    // (id*31 + x*7 + y*13 + c*17) % 256, so the oracle enumerates the
+    // kept positions and sums them with position weights that break
+    // flip/transpose symmetry. A resampler that misreads the row
+    // stride, walks rows top-down, picks the wrong source pixel, or
+    // re-encodes the wrong dims hash-mismatches here.
+    "q_mm_resize" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ((n_chars % 64 + 1) + 1) // 2 AS w2,
+        |    (((n_chars // 64) % 64 + 1) + 1) // 2 AS h2
+        |  FROM documents WHERE doc_id % 11 <> 3 AND doc_id % 2 = 0),
+        |bsum AS (
+        |  SELECT b.doc_id,
+        |    SUM(((b.doc_id*31 + (2*x.x)*7 + (2*y.y)*13 + c.c*17) % 256)
+        |        * (1 + (x.x*5 + y.y*3 + c.c) % 7)) AS checksum
+        |  FROM b, range(0,32) x(x), range(0,32) y(y), range(0,3) c(c)
+        |  WHERE x.x < b.w2 AND y.y < b.h2
+        |  GROUP BY b.doc_id),
+        |w AS (
+        |  SELECT doc_id, (n_chars % 2 + 1) AS ch,
+        |    ((n_chars % 50 + 5) + 1) // 2 AS nf2
+        |  FROM documents WHERE doc_id % 11 <> 3 AND doc_id % 2 = 1),
+        |wsum AS (
+        |  SELECT w.doc_id,
+        |    SUM(((w.doc_id*31 + (2*j.j)*7 + bb.b*13 + c.c*17) % 256)
+        |        * (1 + (j.j*5 + c.c*3 + bb.b) % 7)) AS checksum
+        |  FROM w, range(0,28) j(j), range(0,2) c(c), range(0,2) bb(b)
+        |  WHERE j.j < w.nf2 AND c.c < w.ch
+        |  GROUP BY w.doc_id)
+        |SELECT b.doc_id, 'bmp' AS kind,
+        |  CAST(b.w2 AS INT) AS out_w, CAST(b.h2 AS INT) AS out_h,
+        |  CAST(NULL AS INT) AS out_frames,
+        |  CAST(54 + ((b.w2*3 + 3) // 4) * 4 * b.h2 AS INT) AS resized_len,
+        |  CAST(bsum.checksum AS BIGINT) AS checksum
+        |FROM b JOIN bsum USING (doc_id)
+        |UNION ALL
+        |SELECT w.doc_id, 'wav', NULL, NULL, CAST(w.nf2 AS INT),
+        |  CAST(44 + 2 * w.ch * w.nf2 AS INT), CAST(wsum.checksum AS BIGINT)
+        |FROM w JOIN wsum USING (doc_id)
+        |UNION ALL
+        |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL
+        |FROM documents WHERE doc_id % 11 = 3""".stripMargin
   )
 
   /** Exact all-pairs word-3-gram Jaccard — the oracle both LSH-verified

@@ -55,16 +55,39 @@ object IFileCodec {
 
   val all: Seq[IFileCodec] = Seq(SnappyCodec, ZstdCodec)
 
+  /** The reference supports LZO via liblzo2 (O14,
+    * src/Merger/LzoDecompressor.cc:151-167). This environment has NO
+    * lzo implementation to differential-test a from-scratch decoder
+    * against (the bar the VInt codec met via Hadoop's WritableUtils),
+    * so rather than ship an unverifiable byte-format reimplementation,
+    * lzo fails DELIBERATELY and by name — the reference's own pattern
+    * for unsupported variants (src/Merger/CompareFunc.cc:109-112
+    * aborts with the offending type in the message). The error names
+    * the codec, the reason, and the supported alternatives, and is
+    * pinned by IFileSpec. */
+  def unsupported(name: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft-ifile: codec '$name' is not supported - no $name " +
+        "implementation is available to verify a reimplementation " +
+        "against; use one of: snappy, zstd, none")
+
   def forName(s: String): IFileCodec = s.toLowerCase match {
     case "snappy" => SnappyCodec
     case "zstd"   => ZstdCodec
+    case "lzo" | "lzop" => unsupported(s.toLowerCase)
     case other => throw new IllegalArgumentException(
       s"graft-ifile: unknown compression '$other' (snappy, zstd, none)")
   }
 
-  /** Codec implied by a data file's name; None = raw. */
-  def fromFileName(f: String): Option[IFileCodec] =
+  /** Codec implied by a data file's name; None = raw. A `.lzo.ifile`
+    * file is RECOGNIZED but unsupported — it must fail loudly at open,
+    * not fall through to the raw-VInt reader and misparse compressed
+    * bytes as record frames. */
+  def fromFileName(f: String): Option[IFileCodec] = {
+    if (f.endsWith(".lzo.ifile") || f.endsWith(".lzop.ifile"))
+      unsupported(if (f.endsWith(".lzop.ifile")) "lzop" else "lzo")
     all.find(c => f.endsWith(c.fileSuffix))
+  }
 }
 
 /** Counts bytes as the CONSUMER pulls them — sits above buffering, so

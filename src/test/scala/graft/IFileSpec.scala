@@ -190,6 +190,31 @@ class IFileSpec extends SparkSuite {
       || msgs.contains("IllegalState"), msgs)
   }
 
+  test("lzo is refused loudly by name, never misparsed as raw") {
+    // write path: the codec option is rejected before any file exists
+    val e1 = intercept[Throwable] {
+      kvDf(10, 1).write.format("graft-ifile")
+        .option("compression", "lzo").mode("overwrite")
+        .save(java.nio.file.Files.createTempDirectory("ifile_lzo_w").toString)
+    }
+    val m1 = Iterator.iterate(e1)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    assert(m1.contains("codec 'lzo' is not supported") &&
+      m1.contains("snappy, zstd"), m1)
+    // read path: a .lzo.ifile data file must fail at open with the
+    // codec named - NOT fall through to the raw-VInt reader and
+    // misparse compressed bytes as record frames
+    val dir = java.nio.file.Files.createTempDirectory("ifile_lzo_r")
+    java.nio.file.Files.write(dir.resolve("part-0.lzo.ifile"),
+      Array.fill[Byte](64)(0x11))
+    val e2 = intercept[Throwable] {
+      spark.read.format("graft-ifile").load(dir.toString).count()
+    }
+    val m2 = Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    assert(m2.contains("codec 'lzo' is not supported"), m2)
+  }
+
   test("index sidecar makes one big file read as multiple partitions") {
     val dir = java.nio.file.Files.createTempDirectory("ifile_split").toString
     // ONE file (coalesce(1)), tiny index interval so there are many marks

@@ -66,11 +66,51 @@ class MultimodalSpec extends SparkSuite {
       .groupBy(_.doc_id).view.mapValues(_.length)
     assert(expFrames.forall { case (id, nf) => sampled(id) == (nf + 3) / 4 })
 
-    val resized = Multimodal.resizePayload(spark, docs, factor = 4).collect()
-    resized.foreach { r =>
-      val (orig, res) = (r.getInt(2), r.getInt(3))
-      assert(res == (orig + 3) / 4)
-      assert(r.getAs[Array[Byte]]("payload").length == res)
+  }
+
+  test("resize is real: stride-aware NN pixels, frame decimation, valid re-encode") {
+    // independent reimplementation of the expected checksums straight
+    // from the mediaByte formula - if resizeBmp/resizeWav misread a
+    // stride, row direction, or offset, these mismatch
+    def mb(id: Long, x: Int, y: Int, c: Int): Int =
+      ((id * 31 + x * 7 + y * 13 + c * 17) % 256).toInt
+    for ((id, nChars) <- Seq((0L, 4L), (2L, 68L), (4L, 553L), (6L, 129L))) {
+      val w = (nChars % 64 + 1).toInt; val h = ((nChars / 64) % 64 + 1).toInt
+      val (w2, h2) = ((w + 1) / 2, (h + 1) / 2)
+      val bytes = Multimodal.synthesizeDecodableMedia(id, nChars)
+      val (out, sum) = Multimodal.resizeBmp(bytes)
+      val exp = (for (x2 <- 0 until w2; y2 <- 0 until h2; c <- 0 until 3)
+        yield mb(id, 2 * x2, 2 * y2, c).toLong *
+          (1 + (x2 * 5 + y2 * 3 + c) % 7)).sum
+      assert(sum == exp, s"bmp checksum id=$id")
+      // the re-encoded output is itself a valid, decodable BMP
+      assert(Multimodal.decodeHeader(out)
+        .contains(MediaMeta("bmp", Some(w2), Some(h2), 3, 1)))
+      // and resizing it again halves dims again (idempotent pipeline)
+      assert(Multimodal.decodeHeader(Multimodal.resizeBmp(out)._1)
+        .exists(m => m.width.contains((w2 + 1) / 2)))
+    }
+    for ((id, nChars) <- Seq((1L, 48L), (5L, 101L), (7L, 50L))) {
+      val ch = (nChars % 2 + 1).toInt; val nf = (nChars % 50 + 5).toInt
+      val nf2 = (nf + 1) / 2
+      val bytes = Multimodal.synthesizeDecodableMedia(id, nChars)
+      val (out, sum) = Multimodal.resizeWav(bytes)
+      val exp = (for (j <- 0 until nf2; c <- 0 until ch; bb <- 0 until 2)
+        yield mb(id, 2 * j, bb, c).toLong *
+          (1 + (j * 5 + c * 3 + bb) % 7)).sum
+      assert(sum == exp, s"wav checksum id=$id")
+      assert(Multimodal.decodeHeader(out)
+        .contains(MediaMeta("wav", None, None, ch, nf2)))
+    }
+    // distributed surface: junk ids null out, everything else resamples
+    val rm = Multimodal.resizeMedia(spark, Tables.documents(spark, sfDir))
+      .collect()
+    assert(rm.nonEmpty)
+    rm.foreach { r =>
+      if (r.doc_id % 11 == 3) assert(r.kind.isEmpty && r.checksum.isEmpty)
+      else if (r.doc_id % 2 == 0)
+        assert(r.kind.contains("bmp") && r.out_w.nonEmpty && r.checksum.nonEmpty)
+      else assert(r.kind.contains("wav") && r.out_frames.nonEmpty)
     }
   }
 
