@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shuffle codec / block-size matrix bench — the measured analog of the
+  * reference's buffer/codec auto-tuning (its reducer sizes merge
+  * buffers from the actual segment population, src/Merger/reducer.cc:
+  * 92-120, and its plugin exposes the compression knobs as tunables,
+  * plugins/shared/.../UdaPlugin.java:209-248). Spark's equivalents are
+  * STATIC per SparkEnv (`spark.io.compression.codec`, per-codec
+  * `blockSize`, `spark.shuffle.compress`), so each matrix cell gets a
+  * fresh SparkContext, runs the five heaviest shuffle queries of the
+  * suite min-of-2, and the winner becomes the committed default in the
+  * bench/verify session builders.
+  *
+  * Usage: BenchShuffleCodec [sfDir]  (default /root/testdata/sf0.1)
+  * Writes SHUFFLE_TUNING.md + bench_shuffle_codec.json to the repo dir.
+  */
+object BenchShuffleCodec {
+
+  /** The suite's heaviest shuffle queries (top-5 by min-of-3 sf0.1
+    * time in bench_full_r07.json, excluding scan-bound ones): every
+    * one is dominated by exchange volume, the regime where the codec
+    * choice shows. */
+  val HeavyShuffleQueries = Seq("q_triangles", "q_dedup_keep_best",
+    "q_dup_clusters", "q_split_leakage_safe", "q_fuzzy_join")
+
+  case class Cell(codec: String, blockKiB: Int, compress: Boolean) {
+    def label: String =
+      if (!compress) "uncompressed"
+      else s"$codec/${blockKiB}k"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val repoDir = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo")
+
+    val cells =
+      (for (c <- Seq("lz4", "snappy", "zstd"); kb <- Seq(8, 32, 128))
+        yield Cell(c, kb, compress = true)) :+
+        Cell("lz4", 32, compress = false)
+
+    def loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+    val results = cells.map { cell =>
+      val b = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.shuffle.manager",
+          "org.apache.spark.shuffle.graft.GraftShuffleManager")
+        .config("spark.ui.enabled", "false")
+        .config("spark.shuffle.compress", cell.compress.toString)
+        .config("spark.shuffle.spill.compress", cell.compress.toString)
+        .config("spark.io.compression.codec", cell.codec)
+        .config(s"spark.io.compression.${cell.codec}.blockSize",
+          s"${cell.blockKiB}k")
+      val spark = b.getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val lo = loadAvg
+      // min-of-2 per query, pass-interleaved so a transient host stall
+      // cannot poison both runs of one query
+      val runs = collection.mutable.Map[String, Vector[Double]]()
+      (1 to 2).foreach { _ =>
+        HeavyShuffleQueries.foreach { q =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          runs(q) = runs.getOrElse(q, Vector.empty) :+
+            (System.nanoTime() - t0) / 1e9
+        }
+      }
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val mins = runs.view.mapValues(_.min).toMap
+      val total = mins.values.sum
+      System.err.println(f"[codec-bench] ${cell.label}%-14s total $total%7.2f s" +
+        f"  (load $lo%.1f -> $loadAvg%.1f)")
+      (cell, mins, total, math.max(lo, loadAvg))
+    }
+
+    val winner = results.minBy(_._3)
+    val header = "| config | " + HeavyShuffleQueries.mkString(" | ") +
+      " | total |"
+    val sep = "|---" * (HeavyShuffleQueries.size + 2) + "|"
+    val rows = results.map { case (cell, mins, total, _) =>
+      val mark = if (cell == winner._1) " **(default)**" else ""
+      s"| ${cell.label}$mark | " +
+        HeavyShuffleQueries.map(q => f"${mins(q)}%.2f").mkString(" | ") +
+        f" | $total%.2f |"
+    }
+    val md =
+      s"""# Shuffle codec / block-size tuning
+         |
+         |The measured analog of the reference's buffer/codec
+         |auto-tuning (reducer.cc:92-120 sizes merge buffers from the
+         |segment population; UdaPlugin.java:209-248 exposes the
+         |compression tunables). Spark's codec knobs are static per
+         |SparkEnv, so each cell below ran in a fresh SparkContext:
+         |local[$cpus], GraftShuffleManager, AQE on, min-of-2 per query
+         |(pass-interleaved), sf0.1, the five heaviest shuffle queries
+         |of the suite. Times in seconds.
+         |
+         |$header
+         |$sep
+         |${rows.mkString("\n")}
+         |
+         |Chosen default: **${winner._1.label}** (lowest total across the
+         |heavy-shuffle family) — set in the Bench/Verify session
+         |builders. Load average stayed below
+         |${f"${results.map(_._4).max}%.1f"} for every cell; regenerate
+         |with `scripts/run.sh graft.BenchShuffleCodec` on a quiet host
+         |before trusting a re-run.
+         |""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(repoDir, "SHUFFLE_TUNING.md"),
+      md.getBytes("UTF-8"))
+    val json = results.map { case (cell, mins, total, lo) =>
+      s"""    "${cell.label}": {${
+        HeavyShuffleQueries.map(q => s""""$q":${f"${mins(q)}%.3f"}""")
+          .mkString(",")},"total":${f"$total%.3f"},"load_max":${f"$lo%.2f"}}"""
+    }.mkString(",\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(repoDir, "bench_shuffle_codec.json"),
+      s"""{\n  "sf": "${sfDir.split('/').last}",\n  "winner": "${winner._1.label}",\n  "cells": {\n$json\n  }\n}\n""".getBytes("UTF-8"))
+    println(md)
+  }
+}

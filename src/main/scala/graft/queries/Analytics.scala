@@ -61,6 +61,23 @@ object Analytics {
         col("dist"))
   }
 
+  /** The co-purchase part graph's undirected edge list (a < b): parts
+    * are nodes, an edge joins two parts appearing in the same order.
+    * Shared by the graph family (triangles, PageRank). localCheckpoint:
+    * every consumer feeds it to several plan branches or an iteration,
+    * and without materialization Catalyst re-derives the lineitem
+    * self-join under each one (q_triangles' unmaterialized plan had 28
+    * lineitem scans). */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+      .localCheckpoint()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- fixed-width histogram: one scan, partial+final count per bucket --
@@ -491,13 +508,7 @@ object Analytics {
     // table and the edge stream is never sorted. Output: top-20 parts
     // by triangle participation (count desc, partkey asc — total order).
     "q_triangles" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val e = li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
-        .localCheckpoint()
+      val e = copurchaseEdges(s, d)
       val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
       val fwd = col("da") < col("db") ||
@@ -522,6 +533,99 @@ object Analytics {
           .as("p_partkey"))
         .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_triangles"))
         .orderBy(col("n_triangles").desc, col("p_partkey")).limit(20)
+    }),
+
+    // ---- PageRank on the co-purchase graph, 3 Lloyd-style power
+    // iterations with damping 0.85, in SCALED-INTEGER arithmetic: ranks
+    // live as r·10^9 BIGINTs, per-edge contributions are integer
+    // divisions (r div deg), and the damped update is
+    // 0.15·10^9 + (85·Σcontrib) div 100 — every operation is exact and
+    // order-independent, so a distributed sum over any partitioning
+    // hash-matches the oracle bit-for-bit (a double-valued PageRank
+    // could never be hash-compared across engines). Per iteration: one
+    // hash join of the checkpointed edge list against the rank vector +
+    // one partial+final aggregate — the plan a 100 TB power iteration
+    // wants; localCheckpoint per iteration keeps the lineage flat, the
+    // same pattern as Clusters.scala. Output: top-20 parts by rank
+    // (rank desc, partkey asc — a total order; integer ranks make the
+    // desc order deterministic).
+    "q_pagerank" -> ((s, d) => {
+      val e = copurchaseEdges(s, d)
+      val ed = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint()
+      val deg = ed.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+        .localCheckpoint()
+      var r = deg.select(col("u"), lit(1000000000L).as("r"))
+      for (_ <- 1 to 3) {
+        r = ed.join(r, "u").join(deg, "u")
+          .select(col("v"), expr("r div dg").as("contrib"))
+          .groupBy(col("v")).agg(sum(col("contrib")).as("sc"))
+          .select(col("v").as("u"),
+            (lit(150000000L) + expr("(85 * sc) div 100")).as("r"))
+          .localCheckpoint()
+      }
+      r.orderBy(col("r").desc, col("u")).limit(20)
+        .select(col("u").as("p_partkey"), col("r").as("rank_scaled"))
+    }),
+
+    // ---- deterministic k-means (2 Lloyd iterations, k=8, spherical
+    // assignment): the hash-comparable sibling of Ann.refineCentroids.
+    // Seeds are the k lowest vec_ids; assignment is a MAP-SIDE argmax
+    // over a literal centroid array (cosine rounded to 3 dp, ties to
+    // the smaller cell — no join, no explosion, no shuffle to assign);
+    // centroid updates accumulate per-dim decimal(18,9) sums (exact,
+    // order-independent) and divide once as doubles. Only the k×dim
+    // centroid table ever reaches the driver, once per iteration — the
+    // same deliberate round-trip the IVF path makes. Output: per-cluster
+    // size + mean assigned cosine + first centroid component.
+    "q_kmeans" -> ((s, d) => {
+      val k = 8
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .localCheckpoint()
+      def best(cs: Seq[Seq[Double]]): Column =
+        array_max(array(cs.zipWithIndex.map { case (c, j) =>
+          struct(
+            graft.vector.VectorFunctions
+              .cosineRounded(col("v"), typedLit(c), 3).as("s"),
+            lit(-j).as("nc"))
+        }: _*))
+      var cents: Seq[Seq[Double]] = e.orderBy(col("vec_id")).limit(k)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      if (cents.isEmpty)
+        // empty corpus: no seeds, no clusters — emit the empty relation
+        // with the query's schema instead of an empty literal argmax
+        e.select(lit(0).as("cell"), lit(0L).as("n"),
+          lit(0.0).as("mean_cos"), lit(0.0).as("c_first")).limit(0)
+      else {
+      for (_ <- 1 to 2) {
+        val means = e
+          .withColumn("cell", -best(cents).getField("nc"))
+          .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cell"), col("dim"))
+          .agg(sum(col("x").cast("decimal(18,9)")).as("sx"),
+            count(lit(1)).as("n"))
+          .groupBy(col("cell"))
+          .agg(array_sort(collect_list(struct(col("dim"),
+            (col("sx").cast("double") / col("n").cast("double")).as("m"))))
+            .as("dm"))
+          .select(col("cell"), expr("transform(dm, p -> p.m)").as("c"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+        cents = cents.indices.map(j => means.getOrElse(j, cents(j)))
+      }
+      val c0 = cents.map(c => math.floor(c.head * 1e6 + 0.5) / 1e6)
+      val firstComp = map_from_arrays(
+        typedLit(cents.indices.toList), typedLit(c0.toList))
+      e.withColumn("b", best(cents))
+        .select((-col("b.nc")).as("cell"), col("b.s").as("cos"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          (floor((sum(col("cos").cast("decimal(18,3)")).cast("double") /
+            count(lit(1)).cast("double")) * 1e6 + 0.5) / 1e6).as("mean_cos"))
+        .withColumn("c_first", firstComp(col("cell")))
+      }
     }),
 
     // ---- 2-D histogram (the heatmap/profiling binning): fixed-width
@@ -918,6 +1022,83 @@ object Analytics {
         |SELECT p AS p_partkey, COUNT(*) AS n_triangles
         |FROM n GROUP BY p
         |ORDER BY n_triangles DESC, p_partkey LIMIT 20""".stripMargin,
+
+    // scaled-integer PageRank: every arithmetic step is exact BIGINT
+    // math, so 3 unrolled iterations reproduce the Spark ranks
+    // bit-for-bit regardless of partitioning or summation order
+    "q_pagerank" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |ed AS (SELECT a AS u, b AS v FROM e
+        |       UNION ALL SELECT b AS u, a AS v FROM e),
+        |deg AS (SELECT u, COUNT(*) AS dg FROM ed GROUP BY u),
+        |r0 AS (SELECT u, CAST(1000000000 AS BIGINT) AS r FROM deg),
+        |r1 AS (SELECT ed.v AS u, CAST(150000000
+        |         + (85 * SUM(r0.r // deg.dg)) // 100 AS BIGINT) AS r
+        |       FROM ed JOIN r0 ON ed.u = r0.u JOIN deg ON ed.u = deg.u
+        |       GROUP BY ed.v),
+        |r2 AS (SELECT ed.v AS u, CAST(150000000
+        |         + (85 * SUM(r1.r // deg.dg)) // 100 AS BIGINT) AS r
+        |       FROM ed JOIN r1 ON ed.u = r1.u JOIN deg ON ed.u = deg.u
+        |       GROUP BY ed.v),
+        |r3 AS (SELECT ed.v AS u, CAST(150000000
+        |         + (85 * SUM(r2.r // deg.dg)) // 100 AS BIGINT) AS r
+        |       FROM ed JOIN r2 ON ed.u = r2.u JOIN deg ON ed.u = deg.u
+        |       GROUP BY ed.v)
+        |SELECT u AS p_partkey, r AS rank_scaled FROM r3
+        |ORDER BY r DESC, u LIMIT 20""".stripMargin,
+
+    // deterministic k-means: assignment = argmax of round-3 cosine
+    // (ties to the smaller cell), centroid update = exact decimal per-
+    // dim sums divided once as doubles — 2 unrolled Lloyd iterations
+    "q_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e
+        |       WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, v, cell FROM (
+        |  SELECT e.vec_id, e.v, c0.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ROUND(LIST_COSINE_SIMILARITY(e.v, c0.c), 3) DESC, c0.cell)
+        |      AS rk FROM e, c0) WHERE rk = 1),
+        |m1 AS (SELECT cell, dim,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS m
+        |  FROM (SELECT cell, UNNEST(v) AS x,
+        |        GENERATE_SUBSCRIPTS(v, 1) AS dim FROM a1)
+        |  GROUP BY cell, dim),
+        |c1m AS (SELECT cell, LIST(m ORDER BY dim) AS c FROM m1 GROUP BY cell),
+        |c1 AS (SELECT c0.cell, COALESCE(c1m.c, c0.c) AS c
+        |       FROM c0 LEFT JOIN c1m USING (cell)),
+        |a2 AS (SELECT vec_id, v, cell FROM (
+        |  SELECT e.vec_id, e.v, c1.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ROUND(LIST_COSINE_SIMILARITY(e.v, c1.c), 3) DESC, c1.cell)
+        |      AS rk FROM e, c1) WHERE rk = 1),
+        |m2 AS (SELECT cell, dim,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS m
+        |  FROM (SELECT cell, UNNEST(v) AS x,
+        |        GENERATE_SUBSCRIPTS(v, 1) AS dim FROM a2)
+        |  GROUP BY cell, dim),
+        |c2m AS (SELECT cell, LIST(m ORDER BY dim) AS c FROM m2 GROUP BY cell),
+        |c2 AS (SELECT c1.cell, COALESCE(c2m.c, c1.c) AS c
+        |       FROM c1 LEFT JOIN c2m USING (cell)),
+        |a3 AS (SELECT vec_id, cell, s FROM (
+        |  SELECT e.vec_id, c2.cell,
+        |    ROUND(LIST_COSINE_SIMILARITY(e.v, c2.c), 3) AS s,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ROUND(LIST_COSINE_SIMILARITY(e.v, c2.c), 3) DESC, c2.cell)
+        |      AS rk FROM e, c2) WHERE rk = 1)
+        |SELECT a3.cell, COUNT(*) AS n,
+        |  FLOOR((CAST(SUM(CAST(a3.s AS DECIMAL(18,3))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000
+        |    AS mean_cos,
+        |  FLOOR(ANY_VALUE(c2.c[1]) * 1000000 + 0.5) / 1000000 AS c_first
+        |FROM a3 JOIN c2 ON a3.cell = c2.cell
+        |GROUP BY a3.cell""".stripMargin,
 
     "q_skyline" ->
       """SELECT p_partkey, p_retailprice, p_size FROM part p

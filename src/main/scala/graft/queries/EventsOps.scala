@@ -140,8 +140,14 @@ object EventsOps {
     // points -> net delta per instant (partial+final aggregate) -> global
     // running sum via the two-phase distributed prefix scan (the only
     // SinglePartition is over ~one row per hour bucket) -> per-hour max.
-    // The classic "peak concurrent sessions" query, with no interval
-    // self-join and no row explosion: 2 rows per event, ever.
+    // Zero-delta SENTINEL rows at every hour boundary in the data's time
+    // range make the carry-in visible: an hour whose deltas only
+    // decrease still reports the concurrency it inherited at its start,
+    // and hours with no change points emit rows instead of vanishing.
+    // Sentinel count is bounded by the TIME RANGE (one per hour), never
+    // by data size. The classic "peak concurrent sessions" query, with
+    // no interval self-join and no row explosion: 2 rows per event plus
+    // one per hour, ever.
     "q_concurrency" -> ((s, d) => {
       val ev = Tables.events(s, d).select(
         unix_micros(col("ts")).as("st"),
@@ -149,7 +155,13 @@ object EventsOps {
       val deltas = ev.select(col("st").as("t"), lit(1L).as("d"))
         .unionByName(ev.select((col("st") + col("dur") * 1000000L).as("t"),
           lit(-1L).as("d")))
-      val net = deltas.groupBy(col("t")).agg(sum(col("d")).as("net"))
+      val sentinels = deltas
+        .agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+        .select(explode(sequence(expr("lo DIV 3600000000"),
+          expr("hi DIV 3600000000"))).as("h"))
+        .select((col("h") * 3600000000L).as("t"), lit(0L).as("d"))
+      val net = deltas.unionByName(sentinels)
+        .groupBy(col("t")).agg(sum(col("d")).as("net"))
       graft.operators.Prefix.runningSum(net,
           expr("t DIV 3600000000"), Seq(col("t")), col("net"), "conc")
         .groupBy(expr("t DIV 3600000000").as("hour_id"))
@@ -293,7 +305,12 @@ object EventsOps {
         |    300 + event_id % 3600 AS dur FROM events),
         |d AS (SELECT st AS t, 1 AS d FROM ev
         |      UNION ALL SELECT st + dur * 1000000, -1 FROM ev),
-        |g AS (SELECT t, CAST(SUM(d) AS BIGINT) AS net FROM d GROUP BY t),
+        |b AS (SELECT MIN(t) // 3600000000 AS lo,
+        |             MAX(t) // 3600000000 AS hi FROM d),
+        |s AS (SELECT UNNEST(generate_series(lo, hi)) * 3600000000 AS t,
+        |             0 AS d FROM b),
+        |g AS (SELECT t, CAST(SUM(d) AS BIGINT) AS net
+        |      FROM (SELECT * FROM d UNION ALL SELECT * FROM s) GROUP BY t),
         |r AS (SELECT t, CAST(SUM(net) OVER (ORDER BY t
         |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc FROM g)
         |SELECT t // 3600000000 AS hour_id, MAX(conc) AS max_conc

@@ -237,6 +237,70 @@ object LlmOps {
     "q_mm_resize" -> ((s, d) =>
       Multimodal.resizeMedia(s, Tables.documents(s, d)).toDF()),
 
+    // ---- unicode text cleaning: NFC canonical composition (native
+    // expression — Spark ships no normalize function), zero-width /
+    // control-char strip, NBSP unification, whitespace collapse, trim.
+    // The fixtures are pure ASCII, so each doc gets a deterministic
+    // DIRTY decoration first (combining accent, ZWSP, NBSP, tab runs,
+    // BEL) that the oracle reproduces with chr() — the NFC composition
+    // and every strip rule are then observable in the cleaned length
+    // and tail. Pure map-side; scales with corpus bytes.
+    "q_text_clean" -> ((s, d) => {
+      val dirty = concat(col("text"),
+        lit(" cafe"), lit("\u0301"), lit("\u200B"), lit("\u00A0"),
+        lit("x"), lit("\t\t y"), lit("\u0007"))
+      val cleaned = trim(regexp_replace(regexp_replace(regexp_replace(
+        graft.expressions.NfcNormalize.nfcNormalize(dirty),
+        "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}" +
+          "\\x{007F}\\x{200B}-\\x{200D}\\x{FEFF}]", ""),
+        "\u00A0", " "),
+        "[ \t\n\r]+", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), dirty.as("dirty"), cleaned.as("clean"))
+        .select(col("doc_id"),
+          length(col("dirty")).as("dirty_len"),
+          length(col("clean")).as("clean_len"),
+          expr("right(clean, 12)").as("tail"))
+    }),
+
+    // ---- temperature-scaled mixture weights (the multi-source
+    // training-mix step: sample source s proportionally to n_s^alpha,
+    // alpha=0.5, so small sources are up-weighted): weights live as
+    // floor(sqrt(n)*10^6) BIGINTs — sqrt is correctly-rounded IEEE in
+    // both engines, everything after is exact integer math, so the
+    // per-source target counts hash-match. The grand total is ONE row
+    // of a source-cardinality aggregate — the same deliberate dim-sized
+    // driver round-trip the IVF centroid path makes (a constant-key
+    // broadcast join would constant-fold into a BNLJ).
+    "q_mixture_temp" -> ((s, d) => {
+      val n = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .withColumn("w_scaled",
+          floor(sqrt(col("n").cast("double")) * 1e6).cast("long"))
+      val totRow = n.agg(sum(col("w_scaled"))).head()
+      val totW = if (totRow.isNullAt(0)) 1L else totRow.getLong(0)
+      n.select(col("source"), col("n"), col("w_scaled"),
+        expr(s"(100000 * w_scaled) div ${totW}L").as("target_docs"))
+    }),
+
+    // ---- deterministic global shuffle + shard assignment (the
+    // write-training-shards step): md5(doc_id) is the shuffle key, the
+    // distributed prefix scan assigns the global position (no single-
+    // partition window), and shards stripe round-robin over the
+    // shuffled order. Fully deterministic across runs, partitionings,
+    // and engines — re-running the pipeline reproduces every shard
+    // byte-for-byte, the property a resumable 100 TB packing job needs.
+    "q_shuffle_det" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("skey"))
+      graft.operators.Prefix.rowNumber(docs,
+          bucket = conv(substring(col("skey"), 1, 2), 16, 10).cast("long"),
+          order = Seq(col("skey"), col("doc_id")), out = "rn")
+        .select(col("doc_id"), col("skey"),
+          ((col("rn") - 1) % 16).as("shard"),
+          expr("(rn - 1) div 16").as("pos_in_shard"))
+    }),
+
     // Overlapping token-window chunking — the standard pre-training /
     // RAG document-splitting step (32-token windows, stride 24 → 8-token
     // overlap). Pure map-side: split → posexplode over computed starts →
@@ -969,7 +1033,46 @@ object LlmOps {
         |FROM w JOIN wsum USING (doc_id)
         |UNION ALL
         |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL
-        |FROM documents WHERE doc_id % 11 = 3""".stripMargin
+        |FROM documents WHERE doc_id % 11 = 3""".stripMargin,
+
+    // the oracle rebuilds the same deterministic dirty decoration with
+    // chr() and replays the clean pipeline with DuckDB's own
+    // nfc_normalize — if the Spark-side NFC expression or any strip
+    // rule drifts, lengths and tails mismatch
+    "q_text_clean" ->
+      """WITH d0 AS (SELECT doc_id,
+        |  text || ' cafe' || chr(769) || chr(8203) || chr(160) || 'x'
+        |       || chr(9) || chr(9) || ' y' || chr(7) AS dirty
+        |  FROM documents),
+        |c AS (SELECT doc_id, dirty,
+        |  TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+        |    NFC_NORMALIZE(dirty),
+        |    '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}\x{200B}-\x{200D}\x{FEFF}]',
+        |    '', 'g'),
+        |    chr(160), ' ', 'g'),
+        |    '[ \t\n\r]+', ' ', 'g')) AS clean FROM d0)
+        |SELECT doc_id, LENGTH(dirty) AS dirty_len,
+        |  LENGTH(clean) AS clean_len, RIGHT(clean, 12) AS tail
+        |FROM c""".stripMargin,
+
+    "q_mixture_temp" ->
+      """WITH n AS (SELECT source, COUNT(*) AS n FROM documents
+        |           GROUP BY source),
+        |w AS (SELECT source, n,
+        |      CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+        |        AS w_scaled FROM n),
+        |t AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS tot_w FROM w)
+        |SELECT source, n, w_scaled,
+        |  CAST((100000 * w_scaled) // tot_w AS BIGINT) AS target_docs
+        |FROM w, t""".stripMargin,
+
+    "q_shuffle_det" ->
+      """WITH r AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS skey
+        |           FROM documents),
+        |o AS (SELECT doc_id, skey,
+        |      ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS rn FROM r)
+        |SELECT doc_id, skey, CAST((rn - 1) % 16 AS BIGINT) AS shard,
+        |  CAST((rn - 1) // 16 AS BIGINT) AS pos_in_shard FROM o""".stripMargin
   )
 
   /** Exact all-pairs word-3-gram Jaccard — the oracle both LSH-verified

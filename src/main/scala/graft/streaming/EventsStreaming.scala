@@ -133,6 +133,45 @@ object EventsStreaming {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** The EVOLVED [[HighWaterMarkProcessor]] a later deploy would ship:
+    * same "hwm" ValueState plus a NEW "n_beats" counter state. The
+    * state-schema-evolution contract under test: restarting from a v1
+    * checkpoint must retain each user's recovered hwm (the v2 handle
+    * binds the existing column family) and initialize the added state
+    * empty — no state migration job, no checkpoint rebuild. */
+  class HighWaterMarkProcessorV2
+      extends StatefulProcessor[Long, EventRow, (Long, Double, Long)] {
+    @transient private var hwm: ValueState[Double] = _
+    @transient private var nBeats: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      hwm = getHandle.getValueState[Double]("hwm",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+      nBeats = getHandle.getValueState[Long]("n_beats",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timerValues: TimerValues): Iterator[(Long, Double, Long)] = {
+      val prev = if (hwm.exists()) hwm.get() else Double.NegativeInfinity
+      val top = rows.foldLeft(Double.NegativeInfinity)(
+        (m, e) => math.max(m, e.value))
+      if (top > prev) {
+        val n = (if (nBeats.exists()) nBeats.get() else 0L) + 1
+        hwm.update(top); nBeats.update(n)
+        Iterator.single((key, top, n))
+      } else Iterator.empty
+    }
+  }
+
+  /** Per-user maxima with the evolved state schema (see
+    * [[HighWaterMarkProcessorV2]]). */
+  def highWaterMarksV2(spark: SparkSession,
+      events: Dataset[EventRow]): Dataset[(Long, Double, Long)] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new HighWaterMarkProcessorV2,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stream-static enrichment join: every micro-batch joins against a
     * STATIC dimension (broadcast; re-resolved per batch, so a reloaded
     * dim path picks up new data). Stateless — no watermark, no join

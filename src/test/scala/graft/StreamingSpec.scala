@@ -99,6 +99,59 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("state schema evolution: v2 processor with an added state " +
+      "variable restarts from a v1 checkpoint") {
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      val (cp, out1, out2) = (s"$dir/cp", s"$dir/out1", s"$dir/out2")
+      val in = MemoryStream[EventRow]
+      // ---- v1 deploy: hwm-only state, checkpointed (foreachBatch —
+      // the sink shape that supports checkpoint recovery)
+      val q1 = EventsStreaming.highWaterMarks(spark, in.toDS())
+        .toDF("user_id", "hwm")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out1); ()
+        }.start()
+      in.addData(ev(1, 1, user = 7, v = 5.0))
+      q1.processAllAvailable(); q1.stop()
+      assert(spark.read.parquet(out1).count() == 1)
+
+      // ---- v2 deploy from the SAME checkpoint: hwm + new n_beats state
+      val q2 = EventsStreaming.highWaterMarksV2(spark, in.toDS())
+        .toDF("user_id", "hwm", "n_beats")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out2); ()
+        }.start()
+      // below the RECOVERED mark: silence proves hwm state survived the
+      // restart into the evolved processor
+      in.addData(ev(2, 2, user = 7, v = 4.0))
+      q2.processAllAvailable()
+      // above it: emits, and the ADDED state counts from empty
+      in.addData(ev(3, 3, user = 7, v = 9.0),
+                 ev(4, 3, user = 8, v = 1.0))
+      q2.processAllAvailable(); q2.stop()
+      val got = spark.read.parquet(out2)
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Double]("hwm"), r.getAs[Long]("n_beats")))
+        .sorted.toSeq
+      assert(got == Seq((7L, 9.0, 1L), (8L, 1.0, 1L)), s"got $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[EventRow]
