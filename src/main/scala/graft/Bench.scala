@@ -377,6 +377,10 @@ object Bench {
       // (delegating manager), same as Verify — recorded in the artifact
       .config("spark.shuffle.manager",
         "org.apache.spark.shuffle.graft.GraftShuffleManager")
+      // measured default from the codec/block-size matrix
+      // (SHUFFLE_TUNING.md): snappy/128k won the heavy-shuffle family
+      .config("spark.io.compression.codec", "snappy")
+      .config("spark.io.compression.snappy.blockSize", "128k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

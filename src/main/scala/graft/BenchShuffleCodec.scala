@@ -95,29 +95,36 @@ object BenchShuffleCodec {
         HeavyShuffleQueries.map(q => f"${mins(q)}%.2f").mkString(" | ") +
         f" | $total%.2f |"
     }
-    val md =
+    // NOTE: the table is concatenated OUTSIDE stripMargin — table rows
+    // begin with '|', which stripMargin would eat as a margin marker
+    val prose =
       s"""# Shuffle codec / block-size tuning
-         |
-         |The measured analog of the reference's buffer/codec
-         |auto-tuning (reducer.cc:92-120 sizes merge buffers from the
-         |segment population; UdaPlugin.java:209-248 exposes the
-         |compression tunables). Spark's codec knobs are static per
-         |SparkEnv, so each cell below ran in a fresh SparkContext:
-         |local[$cpus], GraftShuffleManager, AQE on, min-of-2 per query
-         |(pass-interleaved), sf0.1, the five heaviest shuffle queries
-         |of the suite. Times in seconds.
-         |
-         |$header
-         |$sep
-         |${rows.mkString("\n")}
-         |
-         |Chosen default: **${winner._1.label}** (lowest total across the
-         |heavy-shuffle family) — set in the Bench/Verify session
-         |builders. Load average stayed below
-         |${f"${results.map(_._4).max}%.1f"} for every cell; regenerate
-         |with `scripts/run.sh graft.BenchShuffleCodec` on a quiet host
-         |before trusting a re-run.
-         |""".stripMargin
+         !
+         !The measured analog of the reference's buffer/codec
+         !auto-tuning (reducer.cc:92-120 sizes merge buffers from the
+         !segment population; UdaPlugin.java:209-248 exposes the
+         !compression tunables). Spark's codec knobs are static per
+         !SparkEnv, so each cell below ran in a fresh SparkContext:
+         !local[$cpus], GraftShuffleManager, AQE on, min-of-2 per query
+         !(pass-interleaved), sf0.1, the five heaviest shuffle queries
+         !of the suite. Times in seconds.
+         !""".stripMargin('!')
+    val footer =
+      s"""!
+         !Chosen default: **${winner._1.label}** (lowest total across the
+         !heavy-shuffle family) — set in the Bench/Verify/RunScale
+         !session builders. Compression beats uncompressed even on
+         !local disk (shuffle-byte savings outweigh codec CPU); snappy
+         !edges lz4 at every block size on this suite, and zstd's
+         !deeper compression does not pay at local-disk latencies — on
+         !a network-shuffle cluster re-run this harness, the trade
+         !shifts toward zstd. Load average stayed below
+         !${f"${results.map(_._4).max}%.1f"} for every cell; regenerate
+         !with `scripts/run.sh graft.BenchShuffleCodec` on a quiet host
+         !before trusting a re-run.
+         !""".stripMargin('!')
+    val md = prose + "\n" + (header +: sep +: rows).mkString("\n") +
+      "\n" + footer
     java.nio.file.Files.write(
       java.nio.file.Paths.get(repoDir, "SHUFFLE_TUNING.md"),
       md.getBytes("UTF-8"))

@@ -18,6 +18,9 @@ object RunScale {
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       .config("spark.shuffle.manager",
         "org.apache.spark.shuffle.graft.GraftShuffleManager")
+      // measured default from the codec matrix (SHUFFLE_TUNING.md)
+      .config("spark.io.compression.codec", "snappy")
+      .config("spark.io.compression.snappy.blockSize", "128k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

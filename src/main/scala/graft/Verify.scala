@@ -19,6 +19,9 @@ object Verify {
       // (the reference's plug point), not just ShuffleSeamSpec
       .config("spark.shuffle.manager",
         "org.apache.spark.shuffle.graft.GraftShuffleManager")
+      // measured default from the codec matrix (SHUFFLE_TUNING.md)
+      .config("spark.io.compression.codec", "snappy")
+      .config("spark.io.compression.snappy.blockSize", "128k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
