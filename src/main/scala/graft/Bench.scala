@@ -90,16 +90,18 @@ object Bench {
     "q_gap_fill_keyed")
 
   /** `loadMax` is the highest 1-minute load average observed across
-    * this point's runs — an exponent or a cancel measured above
-    * [[LoadFlagThreshold]] is host noise, not plan cost, and is
-    * flagged as such in the artifact rather than trusted. */
+    * this point's runs (informative — mid-run load is dominated by our
+    * own worker threads); `loadFlagged` marks points measured on a host
+    * whose AMBIENT load at bench start exceeded [[LoadFlagThreshold]] —
+    * those exponents/cancels are host noise, not plan cost. */
   case class ScalePoint(sf01: Double, sf1: Option[Double],
                         cancelledAt: Option[Int], note: Option[String],
-                        loadMax: Double = 0.0)
+                        loadMax: Double = 0.0, loadFlagged: Boolean = false)
 
-  /** 1-minute load above which a scale measurement is untrustworthy on
-    * this 32-cpu host (r7's driver run started at load 19.4 and
-    * cancelled two sf1 points a quiet host completes in 39 s / 247 s). */
+  /** Ambient (pre-bench) 1-minute load above which a scale measurement
+    * is untrustworthy on this 32-cpu host (r7's driver run STARTED at
+    * load 19.4 — before doing any work — and cancelled two sf1 points a
+    * quiet host completes in 39 s / 247 s). */
   val LoadFlagThreshold = 8.0
 
   private def loadAvg1m: Double = java.lang.management.ManagementFactory
@@ -187,9 +189,18 @@ object Bench {
     * (generation excluded from timing). Each sf1 run is capped at
     * `SPARK_GRAFT_SCALE_TIMEOUT_SEC` (default 420) via job-group
     * cancellation — a cancelled run is recorded as such, with its
-    * named reason, instead of stalling the whole bench. */
+    * named reason, instead of stalling the whole bench.
+    *
+    * `ambientLoad` is the 1-minute load average captured BEFORE the
+    * bench did any work: load measured DURING a run is dominated by our
+    * own 32 worker threads and says nothing about contention, but a
+    * high ambient at start (r7's driver run began at 19.4 and
+    * cancelled two points a quiet host completes) marks every
+    * downstream exponent/cancel as host noise. Points still record the
+    * max load observed across their runs as data. */
   def scalePointTimings(spark: SparkSession, sfDir: String,
-                        timings: collection.Map[String, Double])
+                        timings: collection.Map[String, Double],
+                        ambientLoad: Double = 0.0)
       : (Int, Seq[(String, ScalePoint)]) = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val timeoutSec =
@@ -243,6 +254,7 @@ object Bench {
       val both: Seq[Double] = a.toSeq ++ b.toSeq
       if (both.isEmpty) None else Some(both.min)
     }
+    val contendedStart = ambientLoad > LoadFlagThreshold
     val pts = entries.flatMap { case (label, mk) =>
       try {
         var loadMax = loadAvg1m
@@ -251,19 +263,18 @@ object Bench {
         loadMax = math.max(loadMax, loadAvg1m)
         var sf1 = minOf2(label, mk, outDir, Some(timeoutSec))
         loadMax = math.max(loadMax, loadAvg1m)
-        if (sf1.isEmpty && loadMax > LoadFlagThreshold) {
-          // a cancel measured under heavy external load is host noise —
-          // give the point one more (pair of) chance(s) rather than
-          // recording a bogus cancelled_at_sec
+        if (sf1.isEmpty && contendedStart) {
+          // a cancel on a host that was ALREADY loaded before the bench
+          // started is noise, not plan cost — give the point one more
+          // min-of-2 rather than recording a bogus cancelled_at_sec
           System.err.println(s"[bench] scale $label cancelled under " +
-            f"load $loadMax%.1f - retrying once")
-          loadMax = loadAvg1m
+            f"ambient load $ambientLoad%.1f - retrying once")
           sf1 = minOf2(label, mk, outDir, Some(timeoutSec))
           loadMax = math.max(loadMax, loadAvg1m)
         }
         sf01.map(s01 => label -> ScalePoint(s01, sf1,
           if (sf1.isEmpty) Some(timeoutSec) else None, scaleNotes.get(label),
-          loadMax))
+          loadMax, contendedStart))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale point $label failed: $e")
         None
@@ -311,8 +322,7 @@ object Bench {
           .getOrElse("null")
         val cancelled = p.cancelledAt
           .map(s => s""","cancelled_at_sec":$s""").getOrElse("")
-        val loadFlag = if (p.loadMax > LoadFlagThreshold)
-          s""","load_flagged":true""" else ""
+        val loadFlag = if (p.loadFlagged) s""","load_flagged":true""" else ""
         val note = p.note.map(n => s""","note":"${jesc(n)}"""").getOrElse("")
         s"""    "$k": {"sf01_sec":${f3(p.sf01)},"sf1_sec":$sf1,""" +
           s""""exponent":$exp,"load_avg_1m":${f"${p.loadMax}%.2f"}""" +
@@ -346,7 +356,7 @@ object Bench {
            |  },
            |  "scale_points": {
            |    "factor": $scaleFactor,
-           |    "note": "exponent = log(t_sf1/t_sf0.1)/log(factor); fixture is ScaleFixture's replica-salted 10x (per-replica dup structure preserved, cross-replica decorrelated, block-key cardinality scales with data); load_avg_1m is the max 1-min load observed across the point's runs - load_flagged (>${LoadFlagThreshold.toInt}) marks the exponent/cancel as host noise, and a cancel under such load is retried once before being recorded",
+           |    "note": "exponent = log(t_sf1/t_sf0.1)/log(factor); fixture is ScaleFixture's replica-salted 10x (per-replica dup structure preserved, cross-replica decorrelated, block-key cardinality scales with data); load_avg_1m is the max 1-min load observed across the point's runs (informative - mid-run load is dominated by our own 32 worker threads); load_flagged means the AMBIENT load at bench start exceeded ${LoadFlagThreshold.toInt} - treat that point's exponent/cancel as host noise - and a cancel on such a host is retried once before being recorded",
            |    "queries": {
            |$sc
            |    }
@@ -367,6 +377,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    // ambient load BEFORE any Spark work: the only load reading that
+    // distinguishes external contention from our own worker threads
+    val ambientLoad = loadAvg1m
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -448,7 +461,7 @@ object Bench {
     // can diff rounds per query and discount host-noise without re-running.
     val scalePts =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_BENCH", "1") == "1")
-        try scalePointTimings(spark, sfDir, timings)
+        try scalePointTimings(spark, sfDir, timings, ambientLoad)
         catch { case e: Throwable =>
           System.err.println(s"[bench] scale points failed: $e")
           (10, Seq.empty[(String, ScalePoint)])

@@ -24,8 +24,10 @@ object RunScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val ambient = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val (factor, pts) = Bench.scalePointTimings(spark, sfDir,
-      Map.empty[String, Double])
+      Map.empty[String, Double], ambient)
     pts.sortBy(_._1).foreach { case (k, p) =>
       val sf1 = p.sf1.map(t => f"$t%8.2f s").getOrElse(
         s"cancelled@${p.cancelledAt.getOrElse(0)}s")

@@ -35,7 +35,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleFixture {
 
-  val Tables = Seq("documents", "embeddings", "part", "lineitem", "orders")
+  val Tables = Seq("documents", "embeddings", "part", "lineitem",
+    "orders", "customer", "nation", "region", "supplier", "events")
 
   /** Generates the fixture into `outDir` unless the marker says it is
     * already there; returns the dir. Generation is NOT part of any
@@ -46,10 +47,13 @@ object ScaleFixture {
     * part table — 10x the data means 10x the parts with the same
     * degree distribution, so graph queries over the co-purchase
     * structure scale the way a real lake does instead of densifying a
-    * fixed node set.) */
+    * fixed node set; v5 adds replicated customers + consistent
+    * o_custkey shifts, verbatim nation/region/supplier dims, and
+    * time-extended events so the star-join and event-family scale
+    * points have their tables.) */
   def ensure(spark: SparkSession, baseDir: String, outDir: String,
              factor: Int): String = {
-    val marker = new java.io.File(s"$outDir/_GRAFT_FIXTURE_v4_f$factor")
+    val marker = new java.io.File(s"$outDir/_GRAFT_FIXTURE_v5_f$factor")
     if (marker.exists()) return outDir
     val reps = broadcast(spark.range(factor).select(col("id").as("rep")))
 
@@ -121,13 +125,48 @@ object ScaleFixture {
     // sf1 scan gets ~2 splits — measuring scan-parallelism starvation,
     // not the operator (q1_agg read exponent 1.42 that way). A real 10x
     // lake has ~10x the files.
+    // customers replicate with the same max(key)+1 span pattern, and
+    // orders shift o_custkey consistently, so the star-join FK chain
+    // (lineitem → orders → customer → nation → region) holds per
+    // replica: 10× facts see 10× customers over the same fixed
+    // nation/region dims (v5 — the q_star_join scale point needs it)
+    val cust = spark.read.parquet(s"$baseDir/customer.parquet")
+    val custSpan = cust.agg(max(col("c_custkey").cast("long")))
+      .head().getLong(0) + 1
+    cust.crossJoin(reps)
+      .withColumn("c_custkey", col("c_custkey") + col("rep") * custSpan)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
     val ord = spark.read.parquet(s"$baseDir/orders.parquet")
     val keySpan = ord.agg(max(col("o_orderkey"))).head().getLong(0) + 1
     ord.crossJoin(reps)
       .withColumn("o_orderkey", col("o_orderkey") + col("rep") * keySpan)
+      .withColumn("o_custkey", col("o_custkey") + col("rep") * custSpan)
       .drop("rep")
       .repartition(16)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    // fixed-size dims copy verbatim (they broadcast; a real 10x lake
+    // still has 25 nations / 5 regions)
+    Seq("nation", "region", "supplier").foreach { t =>
+      spark.read.parquet(s"$baseDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    // events replicate by EXTENDING TIME: replica r shifts ts by
+    // r·31 days (the base spans 30), so 10× events = 10× history at
+    // constant event rate — time spines, session counts, and gap-fill
+    // work scale linearly the way a longer-lived product's would,
+    // instead of densifying a fixed month. event_id/user_id shift by
+    // max+1 spans for uniqueness and 10× the user population.
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    val evSpan = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    val userSpan = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    ev.crossJoin(reps)
+      .withColumn("event_id", col("event_id") + col("rep") * evSpan)
+      .withColumn("user_id", col("user_id") + col("rep") * userSpan)
+      .withColumn("ts", expr("ts + make_dt_interval(rep * 31, 0, 0, 0)"))
+      .drop("rep")
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     // l_partkey shifts by the part table's replica span — max(key)+1,
     // the same keySpan pattern as orders, NOT row count, so a sparse or
     // 1-based key space cannot silently overlap replica ranges (which

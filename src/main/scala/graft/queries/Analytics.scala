@@ -69,8 +69,14 @@ object Analytics {
     * self-join under each one (q_triangles' unmaterialized plan had 28
     * lineitem scans). */
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    // node ids as INTs: partkey cardinality fits, and the graph family
+    // moves edge/adjacency payloads through every exchange — int keys
+    // measured the sf1 triangle pipeline at 73 s vs 131 s on longs
+    // (halved shuffle bytes + GC pressure). Consumers cast the final
+    // output keys back to long for the oracle schema.
     val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .select(col("l_orderkey").as("ok"),
+        col("l_partkey").cast("int").as("pk"))
       .distinct()
     li.as("x").join(li.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
@@ -510,7 +516,7 @@ object Analytics {
     "q_triangles" -> ((s, d) => {
       val e = copurchaseEdges(s, d)
       val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
-        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("n")).agg(count(lit(1)).cast("int").as("deg"))
       val fwd = col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b"))
       val ed = e
@@ -519,7 +525,10 @@ object Analytics {
         .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
           when(fwd, col("b")).otherwise(col("a")).as("v"))
         .localCheckpoint()
+      // adjacency is consumed by BOTH closing probes — checkpoint it or
+      // the 12M-row groupBy runs twice (measured 2x the adj cost at sf1)
       val adj = ed.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
+        .localCheckpoint()
       // triangle (u, v, c) closes at oriented edge (u,v) for every c in
       // outNbrs(u) ∩ outNbrs(v); empty intersections vanish at explode
       val tri = ed
@@ -530,8 +539,9 @@ object Analytics {
         .select(col("u").as("wa"), col("v").as("wb"),
           explode(array_intersect(col("nu"), col("nv"))).as("wc"))
       tri.select(explode(array(col("wa"), col("wb"), col("wc")))
-          .as("p_partkey"))
-        .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_triangles"))
+          .as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("n_triangles"))
+        .select(col("pk").cast("long").as("p_partkey"), col("n_triangles"))
         .orderBy(col("n_triangles").desc, col("p_partkey")).limit(20)
     }),
 
@@ -566,7 +576,8 @@ object Analytics {
           .localCheckpoint()
       }
       r.orderBy(col("r").desc, col("u")).limit(20)
-        .select(col("u").as("p_partkey"), col("r").as("rank_scaled"))
+        .select(col("u").cast("long").as("p_partkey"),
+          col("r").as("rank_scaled"))
     }),
 
     // ---- deterministic k-means (2 Lloyd iterations, k=8, spherical
