@@ -87,7 +87,7 @@ object Bench {
     "q_dup_clusters", "q_dedup_keep_best", "q_span_dedup", "q_fuzzy_join",
     "q1_agg", "q_sort_global", "q_window_running", "q_join_smj",
     "q_triangles", "q_topk_group", "q_cube", "q_star_join",
-    "q_gap_fill_keyed")
+    "q_gap_fill_keyed", "q_pagerank", "q_kmeans")
 
   /** `loadMax` is the highest 1-minute load average observed across
     * this point's runs (informative — mid-run load is dominated by our

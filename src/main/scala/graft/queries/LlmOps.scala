@@ -263,6 +263,84 @@ object LlmOps {
           expr("right(clean, 12)").as("tail"))
     }),
 
+    // ---- BM25 retrieval scoring (Lucene form, k1=1.2, b=0.75): the
+    // query set is the term multiset of docs 0-4; scoring is the
+    // inverted-index join pattern (query terms -> postings), so work is
+    // proportional to postings touched, never |queries| x |corpus|.
+    // Portability: idf and each term score pass libm's ln once, are
+    // floor-rounded to 6 dp immediately, and accumulate as EXACT
+    // decimals (the tfidf precedent) — the final score is one double
+    // division rounded to 3. Top-10 per query, total order.
+    "q_bm25" -> ((s, d) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1e6 + 0.5) / 1e6
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf")).localCheckpoint()
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val g = dl.agg(sum(col("dl")).cast("double").as("t"),
+        count(lit(1)).cast("double").as("n")).head()
+      // empty corpus: sum is null and the formula never evaluates —
+      // any finite placeholder keeps construction from NPEing
+      val nDocs = g.getDouble(1)
+      val avgdl = if (g.isNullAt(0) || nDocs == 0) 1.0
+                  else g.getDouble(0) / nDocs
+      val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .select(col("tok"), r6(log(
+          (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)).as("idf"))
+      val q = tf.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("tok")).distinct()
+      q.join(tf, "tok")
+        .join(broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .filter(col("doc_id") =!= col("qid"))
+        .withColumn("term_score", r6(col("idf") * (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)))
+          .cast("decimal(18,6)"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("term_score")).as("sc"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("sc").desc, col("doc_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("doc_id"),
+          (floor(col("sc").cast("double") * 1e3 + 0.5) / 1e3).as("score"),
+          col("rk"))
+    }),
+
+    // ---- bigram-LM surprisal (the CCNet-style LM quality filter,
+    // made hash-exact): per-bigram surprisal is the INTEGER log2 ratio
+    // floor(log2(ct(w1))) - floor(log2(ct(w1 w2))) = bitlen difference
+    // — libm-free, so cross-engine sums are exact with no rounding
+    // escape hatch. High sum/bigram ratio = text the corpus LM finds
+    // surprising (the filter signal). The vocab-sized unigram table
+    // broadcasts; the bigram table is corpus-scaled so it SHUFFLE-joins
+    // (broadcasting it would not survive 100x).
+    "q_lm_surprisal" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> length(x) > 0)").as("arr"))
+      val bgs = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(arr) - 1), " +
+          "i -> struct(element_at(arr, i) as w1, " +
+          "concat(element_at(arr, i), ' ', element_at(arr, i + 1)) as bg))"))
+        .as("p"))
+        .select(col("doc_id"), col("p.w1"), col("p.bg"))
+        .localCheckpoint()
+      val uniCt = bgs.groupBy(col("w1")).agg(count(lit(1)).as("uc"))
+      val bgCt = bgs.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
+      bgs.join(broadcast(uniCt), "w1")
+        .join(bgCt, "bg")
+        .withColumn("surp",
+          length(expr("bin(uc)")) - length(expr("bin(bc)")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("surp")).as("sum_surprisal"))
+        .withColumn("avg_surprisal", floor(col("sum_surprisal") /
+          col("n_bigrams").cast("double") * 1e4 + 0.5) / 1e4)
+    }),
+
     // ---- temperature-scaled mixture weights (the multi-source
     // training-mix step: sample source s proportionally to n_s^alpha,
     // alpha=0.5, so small sources are up-weighted): weights live as
@@ -1054,6 +1132,59 @@ object LlmOps {
         |SELECT doc_id, LENGTH(dirty) AS dirty_len,
         |  LENGTH(clean) AS clean_len, RIGHT(clean, 12) AS tail
         |FROM c""".stripMargin,
+
+    // mirror every double op of the Spark side exactly (same literals,
+    // same parenthesization); the only libm call (ln) is floor-rounded
+    // to 6 dp immediately and everything downstream accumulates as
+    // exact decimals — the tfidf precedent
+    "q_bm25" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |       WHERE LENGTH(tok) > 0 GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks
+        |       WHERE LENGTH(tok) > 0 GROUP BY doc_id),
+        |g AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |        AS avgdl, CAST(COUNT(*) AS DOUBLE) AS nd FROM dl),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |idf AS (SELECT tok,
+        |    FLOOR(LN((nd - df + 0.5) / (df + 0.5) + 1.0) * 1000000 + 0.5)
+        |      / 1000000 AS idf FROM df, g),
+        |q AS (SELECT DISTINCT doc_id AS qid, tok FROM tf WHERE doc_id < 5),
+        |s AS (SELECT q.qid, tf.doc_id,
+        |    SUM(CAST(FLOOR((idf.idf * (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / g.avgdl)))
+        |      * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))) AS sc
+        |  FROM q JOIN tf USING (tok) JOIN idf USING (tok)
+        |    JOIN dl ON tf.doc_id = dl.doc_id, g
+        |  WHERE tf.doc_id <> q.qid GROUP BY q.qid, tf.doc_id)
+        |SELECT qid, doc_id,
+        |  FLOOR(CAST(sc AS DOUBLE) * 1000 + 0.5) / 1000 AS score,
+        |  CAST(rk AS INT) AS rk
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY sc DESC, doc_id) AS rk FROM s)
+        |WHERE rk <= 10""".stripMargin,
+
+    // the integer-log2 surprisal is libm-free: bitlen(count) via BIN()
+    // string length in both engines, sums exact
+    "q_lm_surprisal" ->
+      """WITH d AS (SELECT doc_id,
+        |    LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 0) AS ts
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    UNNEST([ts[i] || ' ' || ts[i+1] FOR i IN RANGE(1, LEN(ts))]) AS bg
+        |  FROM d),
+        |bb AS (SELECT doc_id, bg, STRING_SPLIT(bg, ' ')[1] AS w1 FROM b),
+        |uc AS (SELECT w1, COUNT(*) AS uc FROM bb GROUP BY w1),
+        |bc AS (SELECT bg, COUNT(*) AS bc FROM bb GROUP BY bg),
+        |s AS (SELECT bb.doc_id,
+        |    LENGTH(BIN(uc.uc)) - LENGTH(BIN(bc.bc)) AS surp
+        |  FROM bb JOIN uc USING (w1) JOIN bc USING (bg))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(surp) AS BIGINT) AS sum_surprisal,
+        |  FLOOR(CAST(SUM(surp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    * 10000 + 0.5) / 10000 AS avg_surprisal
+        |FROM s GROUP BY doc_id""".stripMargin,
 
     "q_mixture_temp" ->
       """WITH n AS (SELECT source, COUNT(*) AS n FROM documents

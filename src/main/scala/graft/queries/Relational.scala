@@ -446,6 +446,31 @@ object Relational {
       graft.operators.Upsert.merge(t, updates.union(inserts), Seq("c_custkey"))
     }),
 
+    // ---- incremental aggregate-state maintenance: the mergeable-state
+    // pattern (reference analog: partial+final merge of sorted runs) —
+    // a per-customer aggregate STATE computed over history (80% of
+    // orders by key hash) absorbs a DELTA batch via one full-outer
+    // additive merge, with NO rescan of history facts. Counts add;
+    // decimal sums add exactly (order-independent). The oracle
+    // recomputes from the full table, so merged-state == full-recompute
+    // is the verified invariant. At 100 TB the state table is
+    // customer-cardinality, the delta batch-sized — the only scan of
+    // the big facts is the one that built the state.
+    "q_incr_agg" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("t"))
+      val state = agg(o.filter(col("o_orderkey") % 10 < 8))
+      val delta = agg(o.filter(col("o_orderkey") % 10 >= 8))
+      state.as("s").join(delta.as("dd"), Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("s.n"), lit(0L)) + coalesce(col("dd.n"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("s.t"), dec(lit(0))) + coalesce(col("dd.t"), dec(lit(0))))
+            .cast("double").as("total_price"))
+    }),
+
     // ---- recursive CTE: gap-filled monthly series ----
     // Generate-and-left-join is the standard gap-filling reporting
     // pattern; the recursive seed is 12 rows on the driver side of a
@@ -996,6 +1021,14 @@ object Relational {
         |UNION ALL
         |SELECT * FROM t
         |WHERE c_custkey NOT IN (SELECT c_custkey FROM src)""".stripMargin,
+
+    // the invariant under test: incremental state + delta merge must
+    // equal a full recompute over all facts
+    "q_incr_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders GROUP BY o_custkey""".stripMargin,
 
     "q_cte_recursive" ->
       """WITH RECURSIVE months(m) AS (
