@@ -63,6 +63,15 @@ object BenchShuffleCodec {
       val spark = b.getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       val lo = loadAvg
+      // one DISCARDED warmup pass before any timed run: all cells share
+      // one JVM, so without it the first cell alone absorbs JIT and
+      // classloader warmup and the matrix winner (totals separated by
+      // ~3-6%) could be warmup bias toward later cells rather than the
+      // codec
+      HeavyShuffleQueries.foreach { q =>
+        SparkEntry.queries(q)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
       // min-of-2 per query, pass-interleaved so a transient host stall
       // cannot poison both runs of one query
       val runs = collection.mutable.Map[String, Vector[Double]]()

@@ -74,9 +74,18 @@ object Analytics {
     // measured the sf1 triangle pipeline at 73 s vs 131 s on longs
     // (halved shuffle bytes + GC pressure). Consumers cast the final
     // output keys back to long for the oracle schema.
+    // a plain cast would WRAP silently once partkeys outgrow Int
+    // (TPC-H partkey = 200k×SF crosses Int.MaxValue near SF ~10k):
+    // raise_error makes an oversized key space fail loudly instead of
+    // corrupting node ids (merged/negative keys) at exactly the scale
+    // these operators are pitched at
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"),
-        col("l_partkey").cast("int").as("pk"))
+        when(col("l_partkey") <= lit(Int.MaxValue.toLong),
+          col("l_partkey").cast("int"))
+          .otherwise(raise_error(lit(
+            "graph node id: l_partkey exceeds Int range")).cast("int"))
+          .as("pk"))
       .distinct()
     li.as("x").join(li.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))

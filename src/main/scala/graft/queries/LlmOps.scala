@@ -321,6 +321,11 @@ object LlmOps {
     "q_lm_surprisal" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"),
         expr("filter(split(text, ' '), x -> length(x) > 0)").as("arr"))
+        // a 0/1-token doc has no bigram: without this guard
+        // sequence(1, size-1) DESCENDS (Spark defaults step to -1 when
+        // start > stop) and element_at(arr, 0) throws at runtime; the
+        // end-exclusive oracle RANGE emits no rows for such docs
+        .filter(size(col("arr")) >= 2)
       val bgs = docs.select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(arr) - 1), " +
           "i -> struct(element_at(arr, i) as w1, " +

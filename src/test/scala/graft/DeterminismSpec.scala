@@ -33,6 +33,51 @@ class DeterminismSpec extends SparkSuite {
     }
   }
 
+  // ---- registry-wide layout-invariance sweep -------------------------
+  // Every oracle-checked query must return the IDENTICAL row multiset
+  // under different shuffle-partition counts AND with AQE on/off. On a
+  // real cluster both are operational knobs, not semantic inputs: the
+  // partition count changes summation/merge order and row-task
+  // assignment, and AQE rewrites the physical plan at runtime (join
+  // demotion, partition coalescing, skew splitting). A query whose
+  // output drifts with either would pass the DuckDB oracle on one
+  // layout and hash-mismatch on another. No-oracle queries are excluded
+  // by construction — sketch merge order and IVF float summation are
+  // documented layout-sensitive, which is exactly why they are
+  // recall/error-gated instead of hash-compared. Three snapshots per
+  // query cover both sweeps (5-vs-23 partitions at AQE on; 23
+  // partitions at AQE on-vs-off).
+  test("all oracle-checked queries are invariant to partition count and AQE") {
+    val names = SparkEntry.oracleSql.keys.toSeq.sorted
+    val failures = scala.collection.mutable.Buffer[String]()
+    def snapshot(name: String): Seq[String] =
+      canon(SparkEntry.queries(name)(spark, sfDir))
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val origAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      for (name <- names) {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        val a = snapshot(name)
+        spark.conf.set("spark.sql.shuffle.partitions", "23")
+        val b = snapshot(name)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val c = snapshot(name)
+        if (a != b || b != c) {
+          val diff = (a.diff(b) ++ b.diff(a) ++ b.diff(c) ++ c.diff(b)).take(3)
+          val which = if (a != b) "partition-count" else "AQE"
+          failures += s"$name ($which): ${a.size}/${b.size}/${c.size} rows; " +
+            s"sample diff: ${diff.mkString(" | ")}"
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", origParts)
+      spark.conf.set("spark.sql.adaptive.enabled", origAqe)
+    }
+    assert(failures.isEmpty,
+      s"layout-sensitive queries:\n${failures.mkString("\n")}")
+  }
+
   test("pagerank conserves total rank mass on a hand-built graph") {
     // triangle {1,2,3} plus pendant 4-1: undirected, integer ranks.
     // After any number of damped iterations, total mass stays
