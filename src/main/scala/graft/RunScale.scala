@@ -26,14 +26,17 @@ object RunScale {
     spark.sparkContext.setLogLevel("WARN")
     val ambient = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val (factor, pts) = Bench.scalePointTimings(spark, sfDir,
+    val (factor, factor3, pts) = Bench.scalePointTimings(spark, sfDir,
       Map.empty[String, Double], ambient)
     pts.sortBy(_._1).foreach { case (k, p) =>
-      val sf1 = p.sf1.map(t => f"$t%8.2f s").getOrElse(
+      val sf1 = p.sf1.map(m => f"${m.wall}%8.2f s u=${m.util}%.2f").getOrElse(
         s"cancelled@${p.cancelledAt.getOrElse(0)}s")
-      val exp = p.sf1.map(t =>
-        f"${math.log(t / p.sf01) / math.log(factor.toDouble)}%.2f").getOrElse("-")
-      println(f"$k%-20s sf0.1 ${p.sf01}%7.2f s   sf1 $sf1   exp $exp")
+      val sf3 = p.sf3.map(m => f"  sf3(x$factor3) ${m.wall}%8.2f s u=${m.util}%.2f")
+        .getOrElse("")
+      val exp = p.sf1.map(m =>
+        f"${math.log(m.wall / p.sf01.wall) / math.log(factor.toDouble)}%.2f").getOrElse("-")
+      val stall = if (p.stallSuspect) "  STALL-SUSPECT" else ""
+      println(f"$k%-20s sf0.1 ${p.sf01.wall}%7.2f s   sf1 $sf1   exp $exp$sf3$stall")
     }
     spark.stop()
   }

@@ -63,6 +63,18 @@ case class GroupTopKExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
 
   override def output: Seq[Attribute] = child.output
 
+  // Observability for the two memory-bound paths: heap-map GENERATIONS
+  // in the partial pass (1 = the budget never filled; >1 = chunked
+  // flushes happened) and final-pass external-sort fallbacks (the
+  // exact path a near-unique key forces). Tests assert on these; at
+  // cluster scale they're the SQL-UI signal that the budget knob is
+  // binding.
+  override lazy val metrics = Map(
+    "numFlushes" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "partial heap-map generations"),
+    "spillFallback" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "final-pass external-sort fallbacks"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
     else if (groupExprs.isEmpty) Seq(AllTuples)
@@ -78,6 +90,8 @@ case class GroupTopKExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
     val limit = k
     val budget = math.max(1L, maxBufferedRows)
     val isPartial = partial
+    val flushMetric = longMetric("numFlushes")
+    val spillMetric = longMetric("spillFallback")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(g, childOutput)
       // ascending interpretation of the SortOrder list: "top" = the k
@@ -111,6 +125,7 @@ case class GroupTopKExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
             while (!drain.hasNext && iter.hasNext) {
               val heaps = new HeapMap
               fill(heaps, 0L)
+              flushMetric += 1
               drain = heaps.valuesIterator.flatMap(_.iterator)
             }
             drain.hasNext
@@ -129,6 +144,7 @@ case class GroupTopKExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
           // Budget exceeded with input remaining: exact answers can't
           // flush, so fall back to a spillable external sort by
           // (group, order) and stream the first k rows per group.
+          spillMetric += 1
           val schema = StructType(childOutput.map(a =>
             StructField(a.name, a.dataType, a.nullable)))
           val sortOrd = RowOrdering.create(

@@ -697,6 +697,48 @@ object LlmOps {
     "q_dedup_minhash" -> jaccardOracle(0.9),
     "q_ngram_jaccard" -> jaccardOracle(0.8),
 
+    // Full signature replay: SimHash64's token hash is DuckDB's
+    // md5_number_lower by construction (MD5 digest bytes 8..15
+    // little-endian), so the oracle recomputes every 64-bit signature
+    // from the raw text, replays the 16-bit-chunk blocking (signed >>
+    // then mask — same as Spark's shiftright + AND), and the pair set
+    // must hash-match bit-for-bit. The b=63 CASE assembles the sign
+    // bit without overflowing signed BIGINT.
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, t
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  WHERE len(t) > 0
+        |),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (md5_number_lower(t) >> b) & 1 = 1
+        |                  THEN 1 ELSE 0 END) AS ones,
+        |         count(*) AS n
+        |  FROM toks CROSS JOIN range(64) r(b)
+        |  GROUP BY doc_id, b
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN 2*ones > n THEN
+        |               CASE WHEN b = 63 THEN -9223372036854775807 - 1
+        |                    ELSE (1::BIGINT << b) END
+        |             ELSE 0 END)::BIGINT AS simhash
+        |  FROM bits GROUP BY doc_id
+        |),
+        |chunks AS (
+        |  SELECT doc_id, simhash, c, (simhash >> (c*16)::INT) & 65535 AS ck
+        |  FROM sig CROSS JOIN range(4) r(c)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  FROM chunks a
+        |  JOIN chunks b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3""".stripMargin,
+
     // Transitive closure over the exact all-pairs Jaccard edges: comp =
     // min reachable doc id (DuckDB recursive CTE with set-union
     // semantics terminates at the fixpoint).

@@ -63,14 +63,16 @@ object Ann {
     * columns; band keys are a pure function of the signatures, so every
     * member of an identical-signature group gets identical band keys. */
   private[graft] def explodeBands(df: DataFrame, numSigs: Int, bits: Int,
-                                  bands: Int): DataFrame = {
+                                  bands: Int,
+                                  keepSigs: Boolean = false): DataFrame = {
     val width = bits / bands
     val mask = (1L << width) - 1
     val bandStructs = for { s <- 0 until numSigs; c <- 0 until bands } yield
       struct(lit(s * bands + c).as("band"),
         shiftright(col(s"__sig$s"), c * width).bitwiseAND(lit(mask)).as("key"))
-    df.withColumn("bk", explode(array(bandStructs: _*)))
-      .drop((0 until numSigs).map(s => s"__sig$s"): _*)
+    val exploded = df.withColumn("bk", explode(array(bandStructs: _*)))
+    if (keepSigs) exploded
+    else exploded.drop((0 until numSigs).map(s => s"__sig$s"): _*)
   }
 
   private[graft] def withBandKeys(df: DataFrame, vecCol: String, dim: Int,
@@ -270,13 +272,16 @@ object Ann {
     */
   def lshTopKShuffled(queries: DataFrame, candidates: DataFrame,
                       idCol: String, vecCol: String, k: Int, dim: Int,
-                      bits: Int = 64, bands: Int = 16): DataFrame = {
+                      bits: Int = 64, bands: Int = 16,
+                      numSigs: Int = 1): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),
       VectorFunctions.asDouble(col(vecCol)).as("qv"))
     val c = candidates.select(col(idCol).as("nid"),
       VectorFunctions.asDouble(col(vecCol)).as("cv"))
-    val qb = withBandKeys(q, "qv", dim, bits, bands).select(col("qid"), col("bk"))
-    val cb = withBandKeys(c, "cv", dim, bits, bands).select(col("nid"), col("bk"))
+    val qb = withBandKeys(q, "qv", dim, bits, bands, numSigs)
+      .select(col("qid"), col("bk"))
+    val cb = withBandKeys(c, "cv", dim, bits, bands, numSigs)
+      .select(col("nid"), col("bk"))
     val cand = qb.join(cb.hint("shuffle_hash"), "bk")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))
@@ -295,53 +300,91 @@ object Ann {
   /** BOUNDED corpus-vs-corpus SRP-LSH top-k — [[lshTopKShuffled]] with
     * two deterministic caps that turn its Ω(q·n·γ) candidate space
     * (γ = band collision rate; the measured exponent-2.28 scale killer)
-    * into O(q · bands · maxBucket) work:
+    * into O(q · numSigs·bands · maxBucket) work:
     *
     *  1. Per-BUCKET cap: each band bucket keeps its `maxBucket`
     *     lowest-`xxhash64(band, key, nid)` corpus entries (a seeded,
     *     order-independent sample of the bucket). A band join emits at
     *     most q_b · maxBucket pairs per bucket, so total candidates are
-    *     ≤ q · bands · maxBucket — LINEAR in the query count, corpus
-    *     size out of the bound entirely.
+    *     ≤ q · totalBands · maxBucket — LINEAR in the query count,
+    *     corpus size out of the bound entirely.
     *  2. Per-QUERY cap: candidates are ranked by the number of shared
-    *     bands (the standard LSH collision-count estimator of
-    *     similarity — a pair at high cosine collides in many bands,
-    *     a random pair in ~1) and only the `capPerQuery` best proceed
-    *     to exact cosine re-ranking, bounding the expensive stage
-    *     (vector re-attachment + 64-dim dot) per query.
+    *     bands (the standard LSH collision-count estimator), ties
+    *     broken by SIGNATURE HAMMING DISTANCE over all numSigs·bits
+    *     signature bits the band rows already carry — an unbiased
+    *     estimator of the pair's angle at zero extra join cost. Only
+    *     the `capPerQuery` best proceed to exact cosine re-ranking,
+    *     bounding the expensive stage (vector re-attachment + 64-dim
+    *     dot) per query.
+    *
+    * BAND GEOMETRY (why 128 × 8-bit bands from 16 signatures, not the
+    * 16 × 4-bit bands the uncapped paths use): with 4-bit bands there
+    * are only 16 buckets per band, so buckets hold n/16 entries and the
+    * bucket cap degenerates into a RANDOM corpus sample long before the
+    * interesting scale — measured at the 20.6k-vector sf1 point:
+    * banding alone finds 0.935 of the exact top-5, the binding bucket
+    * caps drop that to 0.684, and ranking the survivors by only 64
+    * hamming bits truncates to 0.303-0.335. Narrow 8-bit bands give
+    * 256 buckets per band (bucket ≈ n/256 — the cap binds ~16× later
+    * and degrades gracefully), many more bands give back the collision
+    * probability the narrower bands lose (128 of them also keep the
+    * tiny-corpus regime covered: sf0.01 accuracy 0.932 vs the old
+    * 0.884), and the 16 signatures stack to a 1024-bit hamming proxy
+    * sharp enough that the per-query cap keeps estimated-nearest
+    * instead of an id-ordered lottery. Measured at sf1 with
+    * maxBucket=64/capPerQuery=2000: sampled top-5 recall vs brute
+    * 0.916 (was 0.303), planted-twin recall 1.0, registry
+    * corpus-vs-corpus time ≈ the old config's (≈50 s — same 8192
+    * candidate bound per query: 128·64 = the old 16·512). maxBucket=64
+    * is chosen so the bucket cap BINDS from n ≈ 16k up — per-query
+    * work is a constant 8192 candidates at every measured scale point
+    * above sf1, which is what makes the ≥sf1 scaling legs linear in q
+    * instead of drifting with bucket growth.
     *
     * Both caps run through [[graft.plans.GroupTopK]], whose
     * partial-per-partition heaps bound the EXCHANGE as well as the
     * result (no bucket's full membership is ever collected into one
     * task's sort buffer). Both are no-ops when the data is smaller than
     * the cap — on the sf0.01 accuracy fixture every bucket is far under
-    * `maxBucket`, so recall there is identical to the uncapped path;
-    * at 10×/100× the caps bind and the plan stays linear. Caps are
-    * deterministic (hash/id tie-breaks), so the output is stable across
-    * partitionings like every other query here.
+    * `maxBucket`, so recall there is banding-limited, not cap-limited.
+    * Caps are deterministic (hash/id tie-breaks), so the output is
+    * stable across partitionings like every other query here.
     */
   def lshTopKBounded(queries: DataFrame, candidates: DataFrame,
                      idCol: String, vecCol: String, k: Int, dim: Int,
-                     bits: Int = 64, bands: Int = 16,
-                     maxBucket: Int = 512,
-                     capPerQuery: Int = 1000): DataFrame = {
+                     bits: Int = 64, bands: Int = 8,
+                     maxBucket: Int = 64,
+                     capPerQuery: Int = 2000,
+                     numSigs: Int = 16): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),
       VectorFunctions.asDouble(col(vecCol)).as("qv"))
     val c = candidates.select(col(idCol).as("nid"),
       VectorFunctions.asDouble(col(vecCol)).as("cv"))
-    val qb = withBandKeys(q, "qv", dim, bits, bands).select(col("qid"), col("bk"))
+    def sigCols(side: String) =
+      (0 until numSigs).map(s => col(s"__sig$s").as(s"$side$s"))
+    val qb = explodeBands(withSignatures(q, "qv", dim, bits, numSigs),
+        numSigs, bits, bands, keepSigs = true)
+      .select(col("qid") +: col("bk") +: sigCols("sq"): _*)
     val cb = graft.plans.GroupTopK.topKPerGroup(
-      withBandKeys(c, "cv", dim, bits, bands).select(col("nid"), col("bk")),
+      explodeBands(withSignatures(c, "cv", dim, bits, numSigs),
+          numSigs, bits, bands, keepSigs = true)
+        .select(col("nid") +: col("bk") +: sigCols("sn"): _*),
       groupCols = Seq(col("bk")),
       order = Seq(xxhash64(col("bk"), col("nid")).asc, col("nid").asc),
       k = maxBucket)
+    // hamming over ALL numSigs·bits signature bits — identical per pair
+    // across band rows, so min() just picks it portably
+    val ham = (0 until numSigs)
+      .map(s => bit_count(col(s"sq$s").bitwiseXOR(col(s"sn$s"))))
+      .reduce(_ + _)
     val cand = qb.join(cb.hint("shuffle_hash"), "bk")
       .filter(col("qid") =!= col("nid"))
+      .withColumn("ham", ham)
       .groupBy(col("qid"), col("nid"))
-      .agg(count(lit(1)).as("nshared"))
+      .agg(count(lit(1)).as("nshared"), min(col("ham")).as("ham"))
     val capped = graft.plans.GroupTopK.topKPerGroup(cand,
       groupCols = Seq(col("qid")),
-      order = Seq(col("nshared").desc, col("nid").asc),
+      order = Seq(col("nshared").desc, col("ham").asc, col("nid").asc),
       k = capPerQuery)
       .select(col("qid"), col("nid"))
     val scored = capped.join(c.hint("shuffle_hash"), "nid")

@@ -102,10 +102,15 @@ class AnnSpec extends SparkSuite {
   }
 
   test("bounded LSH: caps above data size = identical to uncapped shuffled") {
+    // same band geometry on both sides (the bounded path defaults to
+    // 16 sigs × 8 × 8-bit bands) so the only difference is the caps —
+    // which must be no-ops when they exceed the data size
     val qBig = emb.filter(col("vec_id") % 5 === 0)
-    val a = Ann.lshTopKShuffled(qBig, emb, "vec_id", "embedding", 5, dim = 64)
+    val a = Ann.lshTopKShuffled(qBig, emb, "vec_id", "embedding", 5,
+        dim = 64, bands = 8, numSigs = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
-    val b = Ann.lshTopKBounded(qBig, emb, "vec_id", "embedding", 5, dim = 64)
+    val b = Ann.lshTopKBounded(qBig, emb, "vec_id", "embedding", 5,
+        dim = 64, maxBucket = 1000000, capPerQuery = 1000000)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(a == b, s"bounded diverges with slack caps: " +
       s"only-uncapped=${a -- b} only-bounded=${b -- a}")
