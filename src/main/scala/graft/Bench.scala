@@ -109,7 +109,14 @@ object Bench {
     * cpu/(wall·nCpu) collapses — the one signal that distinguishes
     * "the plan is slow" (burning CPU the whole time) from "the host
     * stalled us" (idle wait). */
-  case class RunMeasure(wall: Double, cpu: Double, taskCpu: Double) {
+  case class RunMeasure(wall: Double, cpu: Double, taskCpu: Double,
+                        canaryMops: Double = -1.0) {
+    /** Canary rate relative to the session's best-observed rate —
+      * the stall discriminator that survives hypervisor-level CPU
+      * accounting lies (see [[Canary]]). ~1.0 on a healthy host. */
+    def canaryFrac: Double =
+      if (canaryMops < 0 || Canary.bestMops <= 0) -1.0
+      else canaryMops / Canary.bestMops
     def util: Double =
       if (wall <= 0) 1.0
       else cpu / (wall * Runtime.getRuntime.availableProcessors())
@@ -118,6 +125,59 @@ object Bench {
       * is: a driver-bound phase keeps ~1 core busy, a parallel phase
       * 10-30, but a host-starved process keeps ~0. */
     def activeCores: Double = if (wall <= 0) 1.0 else cpu / wall
+  }
+
+  /** Host-stall speedometer. Round 9 established (jstack + /proc
+    * sampling during a "3 100 CPU-s" stage) that this sandbox is a VM
+    * whose hypervisor periodically oversubscribes the host: during
+    * those windows guest-side CPU accounting LIES — descheduled vCPU
+    * time is billed to whatever thread was running, so wall, process
+    * CPU and task CPU all inflate together (identical code measured an
+    * adjacency build at 2 s and 98 s with "busy" CPU both times),
+    * defeating the r8 wall-vs-cpu stall detector. The one observable a
+    * hypervisor cannot fake is forward progress: a calibrated spin
+    * thread counts xorshift iterations against wall time, and its rate
+    * collapses in exact proportion to how little real CPU the guest got.
+    * Each scale run records the canary's M ops/s during it; the session
+    * maximum is the hardware's true rate, and `rate/best < 0.5` marks a
+    * stalled window (a fair scheduler gives the canary ~1 of 32 cores
+    * even when the suite saturates the machine, so healthy runs sit
+    * near the solo rate). */
+  private[graft] object Canary {
+    private val ops = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile private var running = false
+    @volatile var bestMops: Double = 0.0
+    def start(): Unit = synchronized {
+      if (running) return
+      running = true
+      val t = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L
+        while (running) {
+          var i = 0
+          while (i < 65536) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+          // the xor with a data-dependent value keeps the loop live
+          ops.addAndGet(65536 | (x & 1L))
+        }
+      }, "graft-canary")
+      t.setDaemon(true)
+      t.setPriority(Thread.NORM_PRIORITY)
+      t.start()
+      // solo calibration: ~0.6 s with Spark idle seeds bestMops so even
+      // the first heavy run has a baseline (later runs raise it if the
+      // calibration itself landed in a stall window)
+      val c0 = ops.get; val t0 = System.nanoTime()
+      Thread.sleep(600)
+      observe(ops.get - c0, (System.nanoTime() - t0) / 1e9)
+    }
+    def stop(): Unit = synchronized { running = false }
+    def count: Long = ops.get
+    /** Rate for a completed interval, also folded into the baseline. */
+    def observe(delta: Long, wallSec: Double): Double = {
+      if (wallSec <= 0 || delta <= 0) return -1.0
+      val m = delta / wallSec / 1e6
+      if (m > bestMops) bestMops = m
+      m
+    }
   }
 
   private object CpuClock {
@@ -298,6 +358,7 @@ object Bench {
     ScaleFixture.ensure(spark, sfDir, outDir, factor)
     ScaleFixture.ensure(spark, sfDir, outDir3, factor3)
     CpuClock.register(spark.sparkContext)
+    Canary.start()
     import org.apache.spark.sql.DataFrame
     // the hi-tau companion is not a registry query (the driver fixtures
     // have no pairs above cosine 0.51, so it would be a 0-row oracle);
@@ -322,10 +383,13 @@ object Bench {
       val t0 = System.nanoTime()
       val cpu0 = CpuClock.processCpuSec
       val task0 = CpuClock.taskCpuSec
+      val can0 = Canary.count
       try {
         mk(d).write.format("noop").mode("overwrite").save()
-        Some(RunMeasure((System.nanoTime() - t0) / 1e9,
-          CpuClock.processCpuSec - cpu0, CpuClock.taskCpuSec - task0))
+        val wall = (System.nanoTime() - t0) / 1e9
+        Some(RunMeasure(wall,
+          CpuClock.processCpuSec - cpu0, CpuClock.taskCpuSec - task0,
+          Canary.observe(Canary.count - can0, wall)))
       } catch {
         case _: Throwable if cancelled =>
           System.err.println(s"[bench] scale $label cancelled at ${cancelAfterSec.get}s")
@@ -333,8 +397,12 @@ object Bench {
       } finally { timer.cancel(); sc.clearJobGroup() }
     }
     def isSuspect(m: RunMeasure): Boolean =
-      m.wall > StallMinWallSec && m.cpu >= 0 &&
-        m.activeCores < StallActiveCoresThreshold
+      (m.wall > StallMinWallSec && m.cpu >= 0 &&
+        m.activeCores < StallActiveCoresThreshold) ||
+      // the canary sees the stalls CPU accounting cannot: a run during
+      // which the spin thread made < half its best-known progress rate
+      // ran on a host that was giving this VM < half its cycles
+      (m.wall > StallMinWallSec && m.canaryFrac >= 0 && m.canaryFrac < 0.5)
     val contendedStart = ambientLoad > LoadFlagThreshold
     // this host suffers transient multi-minute stalls from OUTSIDE the
     // container (a ~30 s sf1 point has measured 170+ s while the
@@ -403,6 +471,7 @@ object Bench {
         None
       }
     }
+    Canary.stop()
     (factor, factor3, pts)
   }
 
@@ -443,9 +512,19 @@ object Bench {
       val (scaleFactor, scaleFactor3, scaleT) = scale
       def cpuFields(prefix: String, m: RunMeasure): String = {
         val cpu = if (m.cpu >= 0) s""","${prefix}_cpu_sec":${f3(m.cpu)}""" else ""
+        // Spark's own per-task executorCpuTime (listener-accumulated):
+        // the scheduler-eye subset of process CPU — excludes driver,
+        // GC and codegen threads
+        val task = if (m.taskCpu >= 0)
+          s""","${prefix}_task_cpu_sec":${f3(m.taskCpu)}""" else ""
         val util = if (m.cpu >= 0 && m.wall > 0)
           s""","${prefix}_util":${f"${m.util}%.3f"}""" else ""
-        cpu + util
+        // canary_frac ~1.0 = the host was giving this VM full cycles
+        // during the run; < 0.5 = hypervisor-level stall window (the
+        // regime where wall AND cpu numbers are both inflated lies)
+        val canary = if (m.canaryFrac >= 0)
+          s""","${prefix}_canary_frac":${f"${m.canaryFrac}%.3f"}""" else ""
+        cpu + task + util + canary
       }
       // least-squares slope of ln t over ln factor across every
       // measured point (2 or 3): with three points a single stalled
@@ -523,7 +602,8 @@ object Bench {
            |  "scale_points": {
            |    "factor": $scaleFactor,
            |    "factor3": $scaleFactor3,
-           |    "note": "exponent = log(t_sf1/t_sf0.1)/log(factor) on WALL seconds; exponent_3pt = least-squares log-log fit over all measured wall points (the heavy five get a third point at factor3); exponent_cpu = the same fit on CPU seconds - host-external stalls (which container loadavg provably cannot see) inflate wall but never work, so when wall and cpu exponents disagree the cpu one is the plan's true scaling and the wall one was stalled. Every point records cpu_sec (process CPU during the chosen run - in local mode the executors ARE this process) and util = cpu/(wall*ncpu). A completed run averaging < $StallActiveCoresThreshold busy cores over > ${StallMinWallSec.toInt}s wall is stall-suspect (near-total starvation; every healthy query measures >= 1.4); if every run of a point is suspect it is re-run up to 2 extra times and, failing that, recorded with stall_suspect:true. Fixture is ScaleFixture's replica-salted scale-up (per-replica dup structure preserved, cross-replica decorrelated, block-key cardinality scales with data); load_avg_1m is the max 1-min load observed across the point's runs (informative - mid-run load is dominated by our own 32 worker threads); load_flagged means the AMBIENT load at bench start exceeded ${LoadFlagThreshold.toInt} - and a cancel on such a host is retried once before being recorded",
+           |    "canary_best_mops": ${f"${Canary.bestMops}%.1f"},
+           |    "note": "exponent = log(t_sf1/t_sf0.1)/log(factor) on WALL seconds; exponent_3pt = least-squares log-log fit over all measured wall points (the heavy five get a third point at factor3); exponent_cpu = the same fit on CPU seconds. STALL ADJUDICATION: round 9 established (jstack + /proc sampling of a '3100 CPU-s' stage) that the sandbox is a VM whose hypervisor periodically oversubscribes the host, and during those windows GUEST CPU ACCOUNTING LIES - descheduled vCPU time is billed to the running thread, so wall, process-CPU and task-CPU inflate together (identical code measured 2 s and 98 s with 'busy' CPU both times). The canary is the stall-proof instrument: a spin thread whose ops/s rate cannot be faked by the hypervisor; canary_frac = run rate / session best. frac ~1.0 = trustworthy point; frac < 0.5 = the host gave this VM under half its cycles and the point's wall AND cpu numbers are inflated. Runs are min-of-N with canary-suspect runs re-run up to 2 extra times; a point whose every run is suspect is recorded stall_suspect:true. A completed run averaging < $StallActiveCoresThreshold busy cores over > ${StallMinWallSec.toInt}s wall is also suspect (total starvation). Fixture is ScaleFixture's replica-salted scale-up (per-replica dup structure preserved, cross-replica decorrelated, block-key cardinality scales with data); load_avg_1m is the max 1-min load observed across the point's runs; load_flagged means the AMBIENT load at bench start exceeded ${LoadFlagThreshold.toInt} - and a cancel on such a host is retried once before being recorded",
            |    "queries": {
            |$sc
            |    }
@@ -548,6 +628,7 @@ object Bench {
     // distinguishes external contention from our own worker threads
     val ambientLoad = loadAvg1m
     val spark = SparkSession.builder()
+      .config("spark.local.dir", LocalDirs.dir)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

@@ -47,6 +47,7 @@ object BenchShuffleCodec {
 
     val results = cells.map { cell =>
       val b = SparkSession.builder()
+      .config("spark.local.dir", LocalDirs.dir)
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")

@@ -5,7 +5,8 @@ object RegenFixture {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/root/repo/target/scale/sf1")
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder()
+      .config("spark.local.dir", LocalDirs.dir).master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

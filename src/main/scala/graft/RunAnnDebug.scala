@@ -14,6 +14,7 @@ object RunAnnDebug {
     val timeCorpus = args.lift(1).contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .config("spark.local.dir", LocalDirs.dir)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

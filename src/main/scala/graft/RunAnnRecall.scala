@@ -10,6 +10,7 @@ object RunAnnRecall {
     val dir = args.headOption.getOrElse("/root/repo/target/scale/sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .config("spark.local.dir", LocalDirs.dir)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -510,10 +510,15 @@ object Analytics {
     // the gap widens with any degree skew). Closing uses the
     // EDGE-ITERATOR form, not a wedge join: each oriented edge (u,v)
     // pulls the out-adjacency arrays of both endpoints and intersects
-    // them (hash-set array_intersect), so the O(Σ outdeg²) wedge set —
-    // 41 M rows at sf0.1, 34× the edge list — is never materialized or
-    // shuffled; only |E| edges, |E| adjacency entries, and the actual
-    // triangles move. Adjacency arrays stay O(√m) entries by the
+    // them, so the O(Σ outdeg²) wedge set — 41 M rows at sf0.1, 34×
+    // the edge list — is never materialized or shuffled; only |E|
+    // edges, |E| adjacency entries, and the actual triangles move.
+    // The intersect is the native SortedIntIntersect merge walk over
+    // pre-sorted adjacency (one sort_array per NODE, amortized over
+    // ~outdeg probes per edge) — Spark's array_intersect builds a
+    // boxed OpenHashSet per CALL, and at sf1's 12 M edges that was a
+    // measured GC storm (6 000+ process-CPU s; the merge walk closes
+    // the same graph in ~2 min of CPU). Adjacency arrays stay O(√m) entries by the
     // orientation, so no collect_list blow-up under hub skew. The edge
     // list feeds four plan branches (degree count, orientation,
     // adjacency); localCheckpoint computes it once instead of
@@ -536,7 +541,8 @@ object Analytics {
         .localCheckpoint()
       // adjacency is consumed by BOTH closing probes — checkpoint it or
       // the 12M-row groupBy runs twice (measured 2x the adj cost at sf1)
-      val adj = ed.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
+      val adj = ed.groupBy(col("u"))
+        .agg(sort_array(collect_list(col("v"))).as("nbrs"))
         .localCheckpoint()
       // triangle (u, v, c) closes at oriented edge (u,v) for every c in
       // outNbrs(u) ∩ outNbrs(v); empty intersections vanish at explode
@@ -546,7 +552,8 @@ object Analytics {
         .join(adj.hint("shuffle_hash")
           .select(col("u").as("v"), col("nbrs").as("nv")), "v")
         .select(col("u").as("wa"), col("v").as("wb"),
-          explode(array_intersect(col("nu"), col("nv"))).as("wc"))
+          explode(graft.expressions.SortedIntIntersect(
+            col("nu"), col("nv"))).as("wc"))
       tri.select(explode(array(col("wa"), col("wb"), col("wc")))
           .as("pk"))
         .groupBy(col("pk")).agg(count(lit(1)).as("n_triangles"))

@@ -100,6 +100,100 @@ object LlmOps {
         threshold = 0.9, dim = EMBED_DIM, bits = 64, bands = 4, numSigs = 32)
     }),
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540,
+    // public): partition the embedding space into k cells (nearest of the
+    // k lowest-id seed vectors by round-3 cosine, ties to the smaller
+    // cell — the deterministic analog of the paper's k-means step, the
+    // same map-side literal-centroid argmax as q_kmeans), then score
+    // candidate pairs ONLY within a cell. The scale contract is the
+    // paper's: pairwise work drops from n² to Σ|cell|² ≈ n²/k, and a
+    // production run grows k with n (k ≈ n/⟨cell⟩ keeps per-cell cost
+    // constant; beyond driver-collectable k the IVF path in Ann.scala
+    // takes over seeding). The within-cell join is a plain equi-join on
+    // `cell` — no cartesian anywhere. Near-dups are planted exactly as
+    // q_dedup_embed plants them (a uniformly-scaled copy of every 50th
+    // vector, cosine exactly 1) so the drop set is non-trivial on the
+    // random-geometry fixture. Drop rule: in any pair (a < b) with
+    // cos ≥ 0.95, b is dropped — the pipeline's keep-lowest-id
+    // representative. Output is per-cell integer bookkeeping (total /
+    // dup pairs / dropped / kept), hash-exact by construction.
+    "q_dedup_semantic" -> ((s, d) => {
+      val k = 8
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val scaled = base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          transform(col("v"), x => x * lit(0.5)).as("v"))
+      val e = base.unionByName(scaled).localCheckpoint()
+      val cents: Seq[Seq[Double]] = e.orderBy(col("vec_id")).limit(k)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      if (cents.isEmpty)
+        // empty corpus: no seeds, no cells — the empty relation with the
+        // query's schema (an empty literal argmax would not compile a plan)
+        e.select(lit(0).as("cell"), lit(0L).as("n_total"),
+          lit(0L).as("n_dup_pairs"), lit(0L).as("n_dropped"),
+          lit(0L).as("n_kept")).limit(0)
+      else {
+        val best = array_max(array(cents.zipWithIndex.map { case (c, j) =>
+          struct(
+            graft.vector.VectorFunctions
+              .cosineRounded(col("v"), typedLit(c), 3).as("s"),
+            lit(-j).as("nc"))
+        }: _*))
+        val assigned = e.withColumn("cell", -best.getField("nc"))
+          .select(col("cell"), col("vec_id"), col("v"))
+          .localCheckpoint() // reused 3×: totals + both join sides
+        val pairs = assigned
+          .select(col("cell"), col("vec_id").as("a"), col("v").as("va"))
+          .join(assigned
+            .select(col("cell"), col("vec_id").as("b"), col("v").as("vb")),
+            Seq("cell"))
+          .filter(col("a") < col("b"))
+          .filter(graft.vector.VectorFunctions
+            .cosineRounded(col("va"), col("vb"), 3) >= 0.95)
+          .select(col("cell"), col("a"), col("b"))
+          .localCheckpoint() // reused 2×: pair counts + drop set
+        val tot = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_total"))
+        val pc = pairs.groupBy(col("cell")).agg(count(lit(1)).as("n_dup_pairs"))
+        val dc = pairs.select(col("cell"), col("b")).distinct()
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_dropped"))
+        tot.join(pc, Seq("cell"), "left").join(dc, Seq("cell"), "left")
+          .select(col("cell"), col("n_total"),
+            coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+            (col("n_total") - coalesce(col("n_dropped"), lit(0L)))
+              .as("n_kept"))
+      }
+    }),
+
+    // Dataset composition card: the per-(source, lang) corpus report a
+    // training-data pipeline publishes alongside every snapshot — doc
+    // counts, char volume, exact integer mean length and parts-per-
+    // million corpus share. One partial+final aggregate over the facts;
+    // the share denominator is a single driver-side scalar off the
+    // already-dim-sized grouped table (the documented bounded round-trip
+    // — a window-over-everything frame is banned by PlanShapeSpec, and a
+    // constant-key broadcast would constant-fold to a nested-loop join).
+    // All outputs are integers (div), so the result is hash-exact.
+    "q_dataset_card" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .localCheckpoint() // dim-sized; reused for the total + the report
+      val totalDocs = g.agg(coalesce(sum(col("n_docs")), lit(0L)))
+        .head.getLong(0)
+      if (totalDocs == 0L)
+        g.select(col("source"), col("lang"), col("n_docs"),
+          col("total_chars"), lit(0L).as("avg_chars_ppm"),
+          lit(0L).as("pct_docs_ppm")).limit(0)
+      else
+        g.select(col("source"), col("lang"), col("n_docs"),
+          col("total_chars"),
+          expr("(total_chars * 1000000) div n_docs").as("avg_chars_ppm"),
+          expr(s"(n_docs * 1000000) div ${totalDocs}L").as("pct_docs_ppm"))
+    }),
+
     // embedding-space outlier report: the 5 vectors per label FURTHEST
     // (by cosine) from their label's centroid — the mislabeled/corrupt-
     // example scan of an embedding-quality pipeline. The centroid is the
@@ -191,6 +285,84 @@ object LlmOps {
         TextFunctions.tokenCount(col("text")).as("n_tok"),
         TextFunctions.distinctTokenCount(col("text")).as("n_distinct"),
         TextFunctions.subwordCount(col("text")).as("n_subwords"))),
+
+    // Model-based quality filter: a FROZEN linear scorer applied at
+    // corpus scale — the fasttext/logistic "trained filter" stage of a
+    // training-data pipeline, with the model reduced to literal integer
+    // weights so the distributed run is hash-exact and engine-portable
+    // (a float model could never be oracle-compared; in production the
+    // weights arrive the same way — as a broadcast constant, never a
+    // shuffle). Features are parts-per-million integers (type-token
+    // ratio, capped length, capped mean token length), the score is
+    // their weighted integer sum, and the verdict a threshold compare.
+    // Pure map-side: native token-count expressions + one
+    // regexp_replace, no exchange at all — at 100 TB this is a scan
+    // that keeps pace with the I/O.
+    "q_quality_model" -> ((s, d) => {
+      val nTok = TextFunctions.tokenCount(col("text"))
+      val nonspace = length(regexp_replace(col("text"), " ", ""))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          nTok.as("n_tok"),
+          TextFunctions.distinctTokenCount(col("text")).as("n_distinct"),
+          nonspace.as("nonspace"))
+        .select(col("doc_id"), col("source"),
+          when(col("n_tok") > 0,
+            expr("(cast(n_distinct as bigint) * 1000000) div n_tok"))
+            .otherwise(0L).as("ttr_ppm"),
+          expr("(least(cast(n_chars as bigint), 500L) * 1000000) div 500")
+            .as("len_ppm"),
+          when(col("n_tok") > 0,
+            expr("least((cast(nonspace as bigint) * 1000000) div n_tok, " +
+              "8000000L) div 8")).otherwise(0L).as("avg_ppm"))
+        .withColumn("score_micro",
+          expr("3 * ttr_ppm + 2 * len_ppm + avg_ppm"))
+        .withColumn("verdict",
+          when(col("score_micro") >= 3300000L, "keep").otherwise("drop"))
+    }),
+
+    // PII audit report: per-source counts of documents and hits per PII
+    // class (emails, NANP-style phone numbers) plus a ppm exposure share
+    // — the compliance sibling of q_redact (which rewrites; this one
+    // REPORTS, the artifact a pipeline publishes before deciding what to
+    // redact). The fixture corpus is digit-free, so PII is PLANTED
+    // deterministically from doc_id (same fixture discipline as the
+    // dedup family's planted copies): every 7th doc gains an email,
+    // every 11th a phone number. Detection is regexp_extract_all over
+    // the text — one map-side pass, then one dim-sized partial+final
+    // aggregate; at 100 TB the regex scan dominates and parallelizes
+    // perfectly.
+    "q_pii_scan" -> ((s, d) => {
+      val withPii = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phoneRe = "555-[0-9]{3}-[0-9]{4}"
+      withPii
+        .select(col("source"),
+          size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+            .as("n_email"),
+          size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+            .as("n_phone"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_email") > 0, 1L).otherwise(0L)).as("docs_email"),
+          sum(col("n_email")).cast("long").as("email_hits"),
+          sum(when(col("n_phone") > 0, 1L).otherwise(0L)).as("docs_phone"),
+          sum(col("n_phone")).cast("long").as("phone_hits"),
+          sum(when(col("n_email") > 0 || col("n_phone") > 0, 1L)
+            .otherwise(0L)).as("docs_any"))
+        .select(col("source"), col("n_docs"), col("docs_email"),
+          col("email_hits"), col("docs_phone"), col("phone_hits"),
+          expr("(docs_any * 1000000) div n_docs").as("pii_docs_ppm"))
+    }),
 
     // Repetition scoring (the Gopher/C4-style templated-text signal):
     // duplicate-bigram share (1 - distinct/total) and the share of the
@@ -843,6 +1015,48 @@ object LlmOps {
         |WHERE a.vec_id < b.vec_id
         |  AND ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 3) >= 0.9""".stripMargin,
 
+    // semantic dedup: replay the seed-cell assignment (argmax of round-3
+    // cosine, ties to the smaller cell — the q_kmeans idiom), the planted
+    // scaled copies, and the within-cell pair/drop bookkeeping
+    "q_dedup_semantic" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, LIST_TRANSFORM(v, x -> x * 0.5)
+        |  FROM base WHERE vec_id % 50 = 0),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM aug
+        |       WHERE vec_id < 8),
+        |a AS (SELECT vec_id, v, cell FROM (
+        |  SELECT aug.vec_id, aug.v, c0.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY aug.vec_id ORDER BY
+        |      ROUND(LIST_COSINE_SIMILARITY(aug.v, c0.c), 3) DESC, c0.cell)
+        |      AS rk FROM aug, c0) WHERE rk = 1),
+        |p AS (SELECT x.cell, x.vec_id AS a, y.vec_id AS b
+        |      FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |      WHERE ROUND(LIST_COSINE_SIMILARITY(x.v, y.v), 3) >= 0.95),
+        |pc AS (SELECT cell, COUNT(*) AS n_dup_pairs FROM p GROUP BY cell),
+        |dc AS (SELECT cell, COUNT(*) AS n_dropped FROM
+        |       (SELECT DISTINCT cell, b FROM p) GROUP BY cell),
+        |t AS (SELECT cell, COUNT(*) AS n_total FROM a GROUP BY cell)
+        |SELECT t.cell, t.n_total,
+        |  COALESCE(pc.n_dup_pairs, 0) AS n_dup_pairs,
+        |  COALESCE(dc.n_dropped, 0) AS n_dropped,
+        |  t.n_total - COALESCE(dc.n_dropped, 0) AS n_kept
+        |FROM t LEFT JOIN pc USING (cell)
+        |LEFT JOIN dc USING (cell)""".stripMargin,
+
+    "q_dataset_card" ->
+      """WITH g AS (SELECT source, lang, COUNT(*) AS n_docs,
+        |             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |           FROM documents GROUP BY source, lang)
+        |SELECT source, lang, n_docs, total_chars,
+        |  (total_chars * 1000000) // n_docs AS avg_chars_ppm,
+        |  (n_docs * 1000000) //
+        |    CAST((SELECT SUM(n_docs) FROM g) AS BIGINT) AS pct_docs_ppm
+        |FROM g""".stripMargin,
+
     "q_outlier_embed" ->
       """WITH e AS (SELECT vec_id, label,
         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -965,6 +1179,56 @@ object LlmOps {
         |  REGEXP_REPLACE(props, '[0-9]+', '<NUM>', 'g') AS props_red,
         |  md5(CONCAT(CAST(user_id AS VARCHAR), 'pepper')) AS user_pseudo
         |FROM events WHERE event_id < 2000""".stripMargin,
+
+    "q_quality_model" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, n_chars,
+        |    LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '')) AS n_tok,
+        |    LEN(LIST_DISTINCT(
+        |      LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> ''))) AS n_distinct,
+        |    LENGTH(REPLACE(text,' ','')) AS nonspace
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN n_tok > 0
+        |      THEN (n_distinct * 1000000) // n_tok ELSE 0 END AS ttr_ppm,
+        |    (LEAST(n_chars, 500) * 1000000) // 500 AS len_ppm,
+        |    CASE WHEN n_tok > 0
+        |      THEN LEAST((nonspace * 1000000) // n_tok, 8000000) // 8
+        |      ELSE 0 END AS avg_ppm
+        |  FROM t)
+        |SELECT doc_id, source, ttr_ppm, len_ppm, avg_ppm,
+        |  3 * ttr_ppm + 2 * len_ppm + avg_ppm AS score_micro,
+        |  CASE WHEN 3 * ttr_ppm + 2 * len_ppm + avg_ppm >= 3300000
+        |    THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM f""".stripMargin,
+
+    "q_pii_scan" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, text
+        |    || (CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id
+        |             || '@example.com' ELSE '' END)
+        |    || (CASE WHEN doc_id % 11 = 0 THEN ' call 555-'
+        |             || LPAD(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |             || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |        ELSE '' END) AS text
+        |  FROM documents),
+        |h AS (
+        |  SELECT source,
+        |    LEN(REGEXP_EXTRACT_ALL(text,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email,
+        |    LEN(REGEXP_EXTRACT_ALL(text, '555-[0-9]{3}-[0-9]{4}')) AS n_phone
+        |  FROM p)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_email,
+        |  CAST(SUM(n_email) AS BIGINT) AS email_hits,
+        |  CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_phone,
+        |  CAST(SUM(n_phone) AS BIGINT) AS phone_hits,
+        |  CAST((SUM(CASE WHEN n_email > 0 OR n_phone > 0 THEN 1 ELSE 0 END)
+        |     * 1000000) // COUNT(*) AS BIGINT) AS pii_docs_ppm
+        |FROM h GROUP BY source""".stripMargin,
 
     // identical contract to q_dedup_incremental — the bloom is an
     // execution accelerator, not a semantics change

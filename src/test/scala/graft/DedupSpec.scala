@@ -137,4 +137,33 @@ class DedupSpec extends SparkSuite {
     assert(pairs.count() == n.toLong * (n - 1) / 2 + 3)
     assert(pairs.filter(col("jaccard") < 1.0).count() == 0)
   }
+
+  test("semantic dedup: bookkeeping is consistent and planted copies drop") {
+    val rows = SparkEntry.queries("q_dedup_semantic")(spark, sfDir).collect()
+    val nEmb = Tables.embeddings(spark, sfDir).count()
+    val planted = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 50 === 0).count()
+    // every corpus vector (base + planted copy) lands in exactly one cell
+    assert(rows.map(_.getLong(1)).sum == nEmb + planted)
+    // per-cell identity: kept = total - dropped; dropped <= pairs
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(1) - r.getLong(3))
+      assert(r.getLong(3) <= r.getLong(2))
+    }
+    // each planted scaled copy has cosine exactly 1 with its base, lands
+    // in the same cell (identical cosine to every seed), and carries the
+    // larger id — so at least `planted` vectors must be dropped
+    assert(rows.map(_.getLong(3)).sum >= planted)
+  }
+
+  test("dataset card: shares sum to ~1e6 ppm and counts cover the corpus") {
+    val rows = SparkEntry.queries("q_dataset_card")(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+    assert(rows.map(_.getLong(2)).sum == docs.count())
+    assert(rows.map(_.getLong(3)).sum ==
+      docs.agg(sum(col("n_chars"))).head.getLong(0))
+    val ppm = rows.map(_.getLong(5)).sum
+    // integer div floors each share: the sum is within nGroups of 1e6
+    assert(ppm <= 1000000L && ppm > 1000000L - rows.length)
+  }
 }

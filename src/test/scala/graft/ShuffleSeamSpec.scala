@@ -22,6 +22,7 @@ class ShuffleSeamSpec extends AnyFunSuite {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val b = SparkSession.builder()
+      .config("spark.local.dir", LocalDirs.dir)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
@@ -56,6 +57,7 @@ class ShuffleSeamSpec extends AnyFunSuite {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
+      .config("spark.local.dir", LocalDirs.dir)
       .master("local[4, 3]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
@@ -115,6 +117,7 @@ class ShuffleSeamSpec extends AnyFunSuite {
     // local[4, 3]: 3 task attempts — the injected failures burn at most
     // two attempts of any one task before the armed counter runs dry
     val spark = SparkSession.builder()
+      .config("spark.local.dir", LocalDirs.dir)
       .master("local[4, 3]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * across the sbt test JVM). */
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
+      .config("spark.local.dir", LocalDirs.dir)
     .master("local[8]")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
