@@ -106,25 +106,32 @@ object LlmOps {
     // cell — the deterministic analog of the paper's k-means step, the
     // same map-side literal-centroid argmax as q_kmeans), then score
     // candidate pairs ONLY within a cell. The scale contract is the
-    // paper's: pairwise work drops from n² to Σ|cell|² ≈ n²/k, and a
-    // production run grows k with n (k ≈ n/⟨cell⟩ keeps per-cell cost
-    // constant; beyond driver-collectable k the IVF path in Ann.scala
-    // takes over seeding). The within-cell join is a plain equi-join on
-    // `cell` — no cartesian anywhere. Near-dups are planted exactly as
-    // q_dedup_embed plants them (a uniformly-scaled copy of every 50th
-    // vector, cosine exactly 1) so the drop set is non-trivial on the
-    // random-geometry fixture. Drop rule: in any pair (a < b) with
-    // cos ≥ 0.95, b is dropped — the pipeline's keep-lowest-id
-    // representative. Output is per-cell integer bookkeeping (total /
-    // dup pairs / dropped / kept), hash-exact by construction.
+    // paper's, and it is LIVE in the query: k GROWS with the corpus
+    // (k = max(4, n/256), the same deterministic formula the oracle
+    // replays), so mean cell size stays ~256 and pairwise work is
+    // Σ|cell|² ≈ 256·n — linear, not n²/constant. The seed table is
+    // k×dim doubles on the driver (the documented bounded round-trip,
+    // like q_kmeans' centroids); beyond driver-collectable k the IVF
+    // path in Ann.scala takes over seeding. The within-cell join is a
+    // plain equi-join on `cell` — no cartesian anywhere. Near-dups are
+    // planted exactly as q_dedup_embed plants them (a uniformly-scaled
+    // copy of every 50th vector, cosine exactly 1) so the drop set is
+    // non-trivial on the random-geometry fixture. Drop rule: in any
+    // pair (a < b) with cos ≥ 0.95, b is dropped — the pipeline's
+    // keep-lowest-id representative. Output is per-cell integer
+    // bookkeeping (total / dup pairs / dropped / kept), hash-exact by
+    // construction.
     "q_dedup_semantic" -> ((s, d) => {
-      val k = 8
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val scaled = base.filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 10000000L).as("vec_id"),
           transform(col("v"), x => x * lit(0.5)).as("v"))
       val e = base.unionByName(scaled).localCheckpoint()
+      // k = max(4, n/256): cells stay ~256 vectors wide as the corpus
+      // grows, so within-cell pair work is linear in n (the count and
+      // the seed rows are the only driver round-trips, both bounded)
+      val k = math.max(4L, e.count() / 256L).toInt
       val cents: Seq[Seq[Double]] = e.orderBy(col("vec_id")).limit(k)
         .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
       if (cents.isEmpty)
@@ -1015,9 +1022,10 @@ object LlmOps {
         |WHERE a.vec_id < b.vec_id
         |  AND ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 3) >= 0.9""".stripMargin,
 
-    // semantic dedup: replay the seed-cell assignment (argmax of round-3
-    // cosine, ties to the smaller cell — the q_kmeans idiom), the planted
-    // scaled copies, and the within-cell pair/drop bookkeeping
+    // semantic dedup: replay the adaptive cell count (k = max(4, n/256)),
+    // the seed-cell assignment (argmax of round-3 cosine, ties to the
+    // smaller cell — the q_kmeans idiom), the planted scaled copies, and
+    // the within-cell pair/drop bookkeeping
     "q_dedup_semantic" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1026,8 +1034,12 @@ object LlmOps {
         |  UNION ALL
         |  SELECT vec_id + 10000000, LIST_TRANSFORM(v, x -> x * 0.5)
         |  FROM base WHERE vec_id % 50 = 0),
-        |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM aug
-        |       WHERE vec_id < 8),
+        |kk AS (SELECT GREATEST(4, COUNT(*) // 256) AS k FROM aug),
+        |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+        |         AS cell, v AS c
+        |       FROM aug
+        |       QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id)
+        |         <= (SELECT k FROM kk)),
         |a AS (SELECT vec_id, v, cell FROM (
         |  SELECT aug.vec_id, aug.v, c0.cell,
         |    ROW_NUMBER() OVER (PARTITION BY aug.vec_id ORDER BY
