@@ -102,13 +102,13 @@ object Bench {
     * process CPU (getProcessCpuTime) covers task work + GC + codegen
     * with zero listener lag; `taskCpu` is Spark's own per-task
     * executorCpuTime from a listener, recorded alongside as the
-    * scheduler-eye view. A host-external stall (the failure mode
-    * container loadavg provably cannot see — round 8 recorded a 99.7 s
-    * point at "load 1.72" that a quiet host runs in 38.6 s) starves the
-    * process: wall grows while CPU does not, so utilization
-    * cpu/(wall·nCpu) collapses — the one signal that distinguishes
-    * "the plan is slow" (burning CPU the whole time) from "the host
-    * stalled us" (idle wait). */
+    * scheduler-eye view. CAUTION (round-9 finding): these CPU numbers
+    * distinguish idle-wait starvation (wall grows, CPU does not —
+    * activeCores collapses) but NOT hypervisor oversubscription, where
+    * descheduled vCPU time is billed to the running thread and wall,
+    * process-CPU and task-CPU inflate together. The [[Canary]] rate is
+    * the only stall signal that survives both failure modes; the CPU
+    * fields remain in the artifact as the work-accounting record. */
   case class RunMeasure(wall: Double, cpu: Double, taskCpu: Double,
                         canaryMops: Double = -1.0) {
     /** Canary rate relative to the session's best-observed rate —
