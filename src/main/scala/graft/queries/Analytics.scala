@@ -596,6 +596,44 @@ object Analytics {
           col("r").as("rank_scaled"))
     }),
 
+    // ---- deterministic label propagation (community detection), 3
+    // SYNCHRONOUS iterations on the co-purchase graph: every node
+    // adopts its neighbors' MODE label (most frequent; ties to the
+    // smallest label — the deterministic form of the classic
+    // nondeterministic LPA). Distinct from q_dup_clusters' connected
+    // components: min-label CC converges to one label per component,
+    // mode-LPA finds DENSE regions inside a component and is the
+    // standard cheap community detector for co-occurrence graphs. All
+    // state is (node int, label int); per iteration: one hash join of
+    // the doubled edge list against the label vector + two partial+
+    // final aggregates (count per (node,label), then max_by argmax) —
+    // exactly PageRank's per-iteration plan, linear in |E|, nothing
+    // driver-sized. Integer counts + lexicographic (n desc, label asc)
+    // argmax make every iteration order-independent, so the result is
+    // hash-exact across engines and partitionings. Output: top-20
+    // communities by size (count desc, label asc — total order).
+    "q_label_prop" -> ((s, d) => {
+      val e = copurchaseEdges(s, d)
+      val und = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint()
+      var labels = und.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      for (_ <- 1 to 3) {
+        labels = und
+          .join(labels.select(col("node").as("dst"), col("label")), "dst")
+          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("n"))
+          .groupBy(col("src"))
+          .agg(max_by(col("label"),
+            struct(col("n"), (-col("label")).as("nl"))).as("label"))
+          .select(col("src").as("node"), col("label"))
+          .localCheckpoint()
+      }
+      labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("label")).limit(20)
+        .select(col("label").cast("long").as("label"), col("n_members"))
+    }),
+
     // ---- deterministic k-means (2 Lloyd iterations, k=8, spherical
     // assignment): the hash-comparable sibling of Ann.refineCentroids.
     // Seeds are the k lowest vec_ids; assignment is a MAP-SIDE argmax
@@ -1076,6 +1114,39 @@ object Analytics {
         |       GROUP BY ed.v)
         |SELECT u AS p_partkey, r AS rank_scaled FROM r3
         |ORDER BY r DESC, u LIMIT 20""".stripMargin,
+
+    // deterministic mode-label propagation: 3 unrolled synchronous
+    // iterations; per iteration the mode of the neighbors' labels with
+    // ties to the smallest label — replayed as count + ROW_NUMBER
+    // (n DESC, label ASC) = the lexicographic argmax
+    "q_label_prop" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |ed AS (SELECT a AS src, b AS dst FROM e
+        |       UNION ALL SELECT b AS src, a AS dst FROM e),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed),
+        |l1 AS (SELECT node, label FROM (
+        |  SELECT ed.src AS node, l0.label,
+        |    ROW_NUMBER() OVER (PARTITION BY ed.src
+        |      ORDER BY COUNT(*) DESC, l0.label) AS rk
+        |  FROM ed JOIN l0 ON ed.dst = l0.node
+        |  GROUP BY ed.src, l0.label) WHERE rk = 1),
+        |l2 AS (SELECT node, label FROM (
+        |  SELECT ed.src AS node, l1.label,
+        |    ROW_NUMBER() OVER (PARTITION BY ed.src
+        |      ORDER BY COUNT(*) DESC, l1.label) AS rk
+        |  FROM ed JOIN l1 ON ed.dst = l1.node
+        |  GROUP BY ed.src, l1.label) WHERE rk = 1),
+        |l3 AS (SELECT node, label FROM (
+        |  SELECT ed.src AS node, l2.label,
+        |    ROW_NUMBER() OVER (PARTITION BY ed.src
+        |      ORDER BY COUNT(*) DESC, l2.label) AS rk
+        |  FROM ed JOIN l2 ON ed.dst = l2.node
+        |  GROUP BY ed.src, l2.label) WHERE rk = 1)
+        |SELECT label, COUNT(*) AS n_members FROM l3
+        |GROUP BY label ORDER BY n_members DESC, label LIMIT 20""".stripMargin,
 
     // deterministic k-means: assignment = argmax of round-3 cosine
     // (ties to the smaller cell), centroid update = exact decimal per-
