@@ -14,30 +14,66 @@ package graft
   * cluster the same knob points at local NVMe — the decision "shuffle
   * never waits on slow storage" is the part that carries to 100 TB.
   *
-  * Stale run dirs (crashed JVMs) are swept on the next session build so
-  * tmpfs pages are not leaked across rounds.
+  * OWNERSHIP, not age: each JVM gets its own `pid-<pid>` subdir, and
+  * the sweep removes only pid dirs whose owning process is DEAD. An
+  * mtime cutoff cannot distinguish a crashed JVM's leak from a live
+  * 9-hour bench session (a Spark local dir's top-level mtime reflects
+  * session start, not activity), and dev utilities launched alongside a
+  * long round must never delete the live session's shuffle files
+  * mid-job (FetchFailed). Liveness via ProcessHandle is exact.
   */
 object LocalDirs {
   def dir: String = {
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite) {
-      val d = new java.io.File(shm, "graft-shuffle")
-      d.mkdirs()
-      sweepStale(d)
-      d.getAbsolutePath
+      val root = new java.io.File(shm, "graft-shuffle")
+      root.mkdirs()
+      sweepStale(root)
+      val mine = new java.io.File(root,
+        s"pid-${ProcessHandle.current().pid()}")
+      mine.mkdirs()
+      mine.getAbsolutePath
     } else System.getProperty("java.io.tmpdir")
   }
 
-  /** Best-effort removal of spark-* scratch dirs older than 6 h. */
+  /** tmpfs bytes currently used under the shuffle root — sampled into
+    * the bench artifact so shm pressure (pages compete with executor
+    * heap in the same physical memory) is a recorded number, not a
+    * guess. -1 when unavailable. */
+  def shmUsedBytes: Long =
+    try {
+      val root = java.nio.file.Paths.get("/dev/shm")
+      if (!java.nio.file.Files.isDirectory(root)) -1L
+      else {
+        val store = java.nio.file.Files.getFileStore(root)
+        store.getTotalSpace - store.getUsableSpace
+      }
+    } catch { case _: Throwable => -1L }
+
+  /** Remove scratch dirs owned by DEAD processes (pid-tagged, exact via
+    * ProcessHandle) plus any legacy un-tagged spark-* dir older than
+    * 24 h (pre-round-10 layout; nothing writes those anymore). */
   private def sweepStale(root: java.io.File): Unit = {
-    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
-    val stale = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.lastModified() < cutoff)
-    stale.foreach(deleteRec)
+    val legacyCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val name = f.getName
+      if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath)) {
+        if (name.startsWith("pid-")) {
+          val alive = name.stripPrefix("pid-").toLongOption
+            .flatMap(p => { val h = ProcessHandle.of(p)
+              if (h.isPresent) Some(h.get.isAlive) else Some(false) })
+            .getOrElse(false)
+          if (!alive) deleteRec(f)
+        } else if (f.lastModified() < legacyCutoff) deleteRec(f)
+      }
+    }
   }
 
+  /** Recursive delete that never FOLLOWS a directory symlink — a link
+    * is deleted as a link, so a symlink planted inside the sweep root
+    * cannot redirect the recursion outside it. */
   private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory)
+    if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
     f.delete(): Unit
   }

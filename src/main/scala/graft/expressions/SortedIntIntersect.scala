@@ -27,6 +27,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * `int[]` allocation for the result — and participates in whole-stage
   * codegen. Element nulls are not expected (adjacency lists are
   * `containsNull = false` by construction).
+  *
+  * PRECONDITIONS (both pinned by `SortedIntIntersectSpec`): inputs must
+  * be ASCENDING-sorted AND duplicate-free. On inputs with duplicates
+  * the merge walk has MULTISET semantics — a value appearing cA/cB
+  * times is emitted min(cA, cB) times — which diverges from
+  * `array_intersect`'s set semantics (emit once). Adjacency lists are
+  * distinct by construction; a future caller with repeated elements
+  * must dedup first (`array_distinct` before `sort_array`).
   */
 case class SortedIntIntersect(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -59,4 +59,24 @@ class SortedIntIntersectSpec extends SparkSuite {
       Seq(Int.MinValue, Int.MaxValue)) == Seq(Int.MinValue, Int.MaxValue))
     assert(ev(Seq(1, 2, 100), Seq(2, 100, 200)) == Seq(2, 100))
   }
+
+  test("duplicate inputs: MULTISET semantics (min count), documented divergence from array_intersect") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def ev(a: Seq[Int], b: Seq[Int]): Seq[Int] = {
+      val e = graft.expressions.SortedIntIntersect(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          a, ArrayType(IntegerType, containsNull = false)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          b, ArrayType(IntegerType, containsNull = false)))
+      e.eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
+    }
+    // the contract the scaladoc states: a value with counts cA/cB is
+    // emitted min(cA, cB) times — NOT deduplicated like array_intersect.
+    // Callers feeding non-distinct arrays must array_distinct first.
+    assert(ev(Seq(1, 1, 2), Seq(1, 1, 1, 2)) == Seq(1, 1, 2))
+    assert(ev(Seq(5, 5, 5), Seq(5)) == Seq(5))
+    assert(ev(Seq(2, 2), Seq(2, 2)) == Seq(2, 2))
+    // distinct-elements precondition holds => set semantics coincide
+    assert(ev(Seq(1, 2, 3), Seq(2, 3, 4)) == Seq(2, 3))
+  }
 }
