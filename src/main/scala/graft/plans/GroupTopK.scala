@@ -104,8 +104,19 @@ case class GroupTopKExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
         var buffered = alreadyBuffered
         while (iter.hasNext && buffered < budget) {
           val row = iter.next()
-          val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-            collection.mutable.PriorityQueue.empty[InternalRow](ord))
+          // probe with the projection's REUSED row (UnsafeRow equality
+          // is value-based); copy the key only on first insert — a
+          // per-row key copy here was one allocation per input row and
+          // measured as a GC storm on a 97 M-row pass (r10 ann sf3
+          // stage profile)
+          val key = keyProj(row)
+          val heap = heaps.get(key) match {
+            case Some(h) => h
+            case None =>
+              val h = collection.mutable.PriorityQueue.empty[InternalRow](ord)
+              heaps.put(key.copy(), h)
+              h
+          }
           if (heap.size < limit) { heap.enqueue(row.copy()); buffered += 1 }
           else if (ord.compare(row, heap.head) < 0) {
             heap.dequeue()
@@ -218,7 +229,17 @@ object GroupTopKStrategy extends SparkStrategy {
   * session-build path is `graft.GraftSessionExtensions`). */
 object GroupTopK {
   val MaxBufferedRowsKey = "spark.graft.topk.maxBufferedRows"
-  val DefaultMaxBufferedRows: Long = 4L * 1024 * 1024
+  /** Default heap budget per task. Deliberately 1M (was 4M): the final
+    * pass retains a COPY of every buffered row in per-group priority
+    * queues — at the r10 ann sf3 point, 3M-row final inputs per task
+    * kept ~8 GB of small objects live across 32 tasks and GC wall
+    * exceeded task CPU (710 s vs 224 s). Past the budget the final pass
+    * hands off to Spark's spillable UnsafeExternalRowSorter, whose
+    * memory-managed pages don't churn the GC — for multi-million-row
+    * group-topk inputs the sort path is strictly faster than the heap
+    * path it replaces. The partial pass just flushes a generation
+    * sooner (correct by superset argument in the class scaladoc). */
+  val DefaultMaxBufferedRows: Long = 1L * 1024 * 1024
 
   def topKPerGroup(df: DataFrame, groupCols: Seq[Column],
                    order: Seq[Column], k: Int): DataFrame = {

@@ -311,11 +311,13 @@ object Ann {
     *  2. Per-QUERY cap: candidates are ranked by the number of shared
     *     bands (the standard LSH collision-count estimator), ties
     *     broken by SIGNATURE HAMMING DISTANCE over all numSigs·bits
-    *     signature bits the band rows already carry — an unbiased
-    *     estimator of the pair's angle at zero extra join cost. Only
-    *     the `capPerQuery` best proceed to exact cosine re-ranking,
-    *     bounding the expensive stage (vector re-attachment + 64-dim
-    *     dot) per query.
+    *     signature bits — an unbiased estimator of the pair's angle.
+    *     Signatures are attached to the DISTINCT candidate pairs by
+    *     id-keyed joins against the compact per-id signature tables
+    *     (never carried through the band exchange — see the slim-join
+    *     note in the body). Only the `capPerQuery` best proceed to
+    *     exact cosine re-ranking, bounding the expensive stage (vector
+    *     re-attachment + 64-dim dot) per query.
     *
     * BAND GEOMETRY (why 128 × 8-bit bands from 16 signatures, not the
     * 16 × 4-bit bands the uncapped paths use): with 4-bit bands there
@@ -373,13 +375,35 @@ object Ann {
       order = Seq(xxhash64(col("bk"), col("nid")).asc, col("nid").asc),
       k = maxBucket)
     // hamming over ALL numSigs·bits signature bits — identical per pair
-    // across band rows, so min() just picks it portably
+    // across band rows, so min() just picks it portably. It is computed
+    // IN the band-join stage (map-side on the join output, before any
+    // further exchange): an attempted round-10 "slim" variant that
+    // attached signatures to the distinct pairs AFTER the collision
+    // aggregate instead measured 2.6× SLOWER at sf1 — the pair table
+    // (~bands·maxBucket rows per query) is an order of magnitude larger
+    // than the band rows, so re-keying it twice (by nid, then qid) with
+    // 128 B of signatures aboard costs far more than the band exchange
+    // it saves.
     val ham = (0 until numSigs)
       .map(s => bit_count(col(s"sq$s").bitwiseXOR(col(s"sn$s"))))
       .reduce(_ + _)
+    // The collision stream is ~bands·maxBucket rows per query (8 192
+    // here) with nearly-unique (qid, nid) keys: partial aggregation
+    // cannot shrink it (a pair's duplicates live in OTHER band
+    // partitions), so the aggregate's cost is dominated by the FINAL
+    // hash maps. At the default fan-out (32 partitions) each final
+    // task's map holds ~n·8192/5/32 entries — ~100 MB/task at the 10×
+    // point but ~3 M entries/task at 30× — and 32 concurrent maps of
+    // that size cross into spill + GC territory: the r9 artifact's
+    // unexplained sf1→sf3 wall 1.79/cpu 2.26 leg. The explicit
+    // high-fan-out repartition pins many SMALL aggregation tasks
+    // (explicit numPartitions ⇒ AQE does not coalesce it away); same
+    // bytes through the exchange, no concurrent-map cliff.
+    val aggParts = 256
     val cand = qb.join(cb.hint("shuffle_hash"), "bk")
       .filter(col("qid") =!= col("nid"))
-      .withColumn("ham", ham)
+      .select(col("qid"), col("nid"), ham.as("ham"))
+      .repartition(aggParts, col("qid"), col("nid"))
       .groupBy(col("qid"), col("nid"))
       .agg(count(lit(1)).as("nshared"), min(col("ham")).as("ham"))
     val capped = graft.plans.GroupTopK.topKPerGroup(cand,
@@ -387,14 +411,32 @@ object Ann {
       order = Seq(col("nshared").desc, col("ham").asc, col("nid").asc),
       k = capPerQuery)
       .select(col("qid"), col("nid"))
+    // RE-RANK (round-10 rework; r10 sf3 stage profile): the old shape —
+    // shuffled cv attach, then a qid exchange of every capped pair WITH
+    // its 520 B vector aboard, then a window sort of all q·capPerQuery
+    // rows to keep 5 — wrote 9.8 GB of vector-laden exchange at the 30×
+    // point (5 200 task-s, the largest stage in the query). Now: the
+    // corpus-side attach stays a SHUFFLED hash join (the unbounded side
+    // never broadcasts), the query-side vectors attach by BROADCAST —
+    // an ANN re-rank serves queries in shards sized to keep the active
+    // query-vector table broadcastable (here q·dim·8 B; shard the query
+    // set at cluster scale) — so the cosine is computed in the SAME
+    // stage as the cv attach and vectors never cross an exchange. The
+    // top-5 then comes from GroupTopK partial heaps in that stage too:
+    // the only post-score exchange carries ≤ 5 scalar rows per (qid,
+    // partition) instead of all capped pairs.
     val scored = capped.join(c.hint("shuffle_hash"), "nid")
-      .join(q.hint("shuffle_hash"), "qid")
+      .join(broadcast(q), "qid")
       .withColumn("cos_sim", VectorFunctions.cosineRounded(col("qv"), col("cv"), 3))
       .select(col("qid"), col("nid"), col("cos_sim"))
+    val top = graft.plans.GroupTopK.topKPerGroup(scored,
+      groupCols = Seq(col("qid")),
+      order = Seq(col("cos_sim").desc, col("nid").asc), k = k)
+    // rank numbers over the ≤ k survivors per query — q·k rows, not
+    // q·capPerQuery
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    top.withColumn("rk", row_number().over(w))
       .select(col("qid"), col("nid"), col("cos_sim"), col("rk"))
   }
 }
