@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.text.TextFunctions
@@ -101,26 +102,40 @@ object LlmOps {
     }),
 
     // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540,
-    // public): partition the embedding space into k cells (nearest of the
-    // k lowest-id seed vectors by round-3 cosine, ties to the smaller
-    // cell — the deterministic analog of the paper's k-means step, the
-    // same map-side literal-centroid argmax as q_kmeans), then score
+    // public): partition the embedding space into ~k cells, then score
     // candidate pairs ONLY within a cell. The scale contract is the
     // paper's, and it is LIVE in the query: k GROWS with the corpus
     // (k = max(4, n/256), the same deterministic formula the oracle
     // replays), so mean cell size stays ~256 and pairwise work is
-    // Σ|cell|² ≈ 256·n — linear, not n²/constant. The seed table is
-    // k×dim doubles on the driver (the documented bounded round-trip,
-    // like q_kmeans' centroids); beyond driver-collectable k the IVF
-    // path in Ann.scala takes over seeding. The within-cell join is a
-    // plain equi-join on `cell` — no cartesian anywhere. Near-dups are
-    // planted exactly as q_dedup_embed plants them (a uniformly-scaled
-    // copy of every 50th vector, cosine exactly 1) so the drop set is
-    // non-trivial on the random-geometry fixture. Drop rule: in any
-    // pair (a < b) with cos ≥ 0.95, b is dropped — the pipeline's
-    // keep-lowest-id representative. Output is per-cell integer
-    // bookkeeping (total / dup pairs / dropped / kept), hash-exact by
-    // construction.
+    // Σ|cell|² ≈ 256·n — linear, not n²/constant.
+    //
+    // TWO-LEVEL assignment (round-10 rework of the r9 scale finding:
+    // a flat k-seed literal argmax is O(k·dim) per row with k ∝ n —
+    // Θ(n²·dim/256) total — plus a k×dim driver collect and a k-branch
+    // expression tree that outgrows codegen):
+    //   level 1 — m = ⌈√k⌉ COARSE seeds (the m lowest-vec_id vectors;
+    //     the only driver round-trip that scales, O(√k)·dim doubles,
+    //     embedded as ONE literal array, not k expression branches);
+    //     coarse(x) = argmax round-3 cosine, ties to the smaller index.
+    //   level 2 — each coarse cell's own f = ⌈k/m⌉ lowest-vec_id
+    //     members are its FINE seeds, selected distributively by
+    //     GroupTopK (partial heaps bound the exchange; no driver
+    //     state); fine(x) = argmax within x's coarse cell, ties to the
+    //     smaller fine index. cell = coarse·f + fine.
+    // Total cells ≈ m·f ≈ k, so mean cell size stays ~256; per-row
+    // assignment cost is O((m+f)·dim) = O(√k·dim); the fine seeds ride
+    // a per-coarse-cell array through one m-row equi-join (broadcast at
+    // this scale, hash join beyond). This is hierarchical k-means
+    // seeding — the same recursive-partition shape FAISS IVF uses —
+    // with the paper's within-cell scoring unchanged. The within-cell
+    // join is a plain equi-join on `cell` — no cartesian anywhere.
+    // Near-dups are planted exactly as q_dedup_embed plants them (a
+    // uniformly-scaled copy of every 50th vector, cosine exactly 1) so
+    // the drop set is non-trivial on the random-geometry fixture. Drop
+    // rule: in any pair (a < b) with cos ≥ 0.95, b is dropped — the
+    // pipeline's keep-lowest-id representative. Output is per-cell
+    // integer bookkeeping (total / dup pairs / dropped / kept),
+    // hash-exact by construction.
     "q_dedup_semantic" -> ((s, d) => {
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -129,25 +144,49 @@ object LlmOps {
           transform(col("v"), x => x * lit(0.5)).as("v"))
       val e = base.unionByName(scaled).localCheckpoint()
       // k = max(4, n/256): cells stay ~256 vectors wide as the corpus
-      // grows, so within-cell pair work is linear in n (the count and
-      // the seed rows are the only driver round-trips, both bounded)
+      // grows (the count is a bounded driver scalar)
       val k = math.max(4L, e.count() / 256L).toInt
-      val cents: Seq[Seq[Double]] = e.orderBy(col("vec_id")).limit(k)
-        .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
-      if (cents.isEmpty)
+      val m = math.ceil(math.sqrt(k.toDouble)).toInt
+      val f = math.ceil(k.toDouble / m).toInt
+      val coarseSeeds: Seq[(Int, Seq[Double])] =
+        e.orderBy(col("vec_id")).limit(m).select(col("v")).collect()
+          .toSeq.zipWithIndex.map { case (r, i) =>
+            (i, r.getSeq[Double](0).toSeq) }
+      if (coarseSeeds.isEmpty)
         // empty corpus: no seeds, no cells — the empty relation with the
         // query's schema (an empty literal argmax would not compile a plan)
         e.select(lit(0).as("cell"), lit(0L).as("n_total"),
           lit(0L).as("n_dup_pairs"), lit(0L).as("n_dropped"),
           lit(0L).as("n_kept")).limit(0)
       else {
-        val best = array_max(array(cents.zipWithIndex.map { case (c, j) =>
-          struct(
-            graft.vector.VectorFunctions
-              .cosineRounded(col("v"), typedLit(c), 3).as("s"),
-            lit(-j).as("nc"))
-        }: _*))
-        val assigned = e.withColumn("cell", -best.getField("nc"))
+        // coarse argmax: ONE array literal scanned by transform —
+        // constant-size expression tree no matter how large m grows
+        val bestC = array_max(transform(typedLit(coarseSeeds), t =>
+          struct(graft.vector.VectorFunctions
+              .cosineRounded(col("v"), t.getField("_2"), 3).as("s"),
+            (-t.getField("_1")).as("nc"))))
+        val withCoarse = e
+          .withColumn("coarse", -bestC.getField("nc"))
+          .select(col("coarse"), col("vec_id"), col("v"))
+          .localCheckpoint() // reused: fine-seed selection + assignment
+        // fine seeds: each coarse cell's f lowest-vec_id members,
+        // selected with bounded partial heaps (ids+vectors, ≤ m·f rows
+        // out) — never collected to the driver
+        val fineSeeds = graft.plans.GroupTopK.topKPerGroup(withCoarse,
+          groupCols = Seq(col("coarse")),
+          order = Seq(col("vec_id").asc), k = f)
+        val fw = Window.partitionBy(col("coarse")).orderBy(col("vec_id"))
+        val seedArrs = fineSeeds
+          .withColumn("fidx", (row_number().over(fw) - 1).cast("int"))
+          .groupBy(col("coarse"))
+          .agg(array_sort(collect_list(struct(col("fidx"), col("v"))))
+            .as("seeds"))
+        val bestF = array_max(transform(col("seeds"), t =>
+          struct(graft.vector.VectorFunctions
+              .cosineRounded(col("v"), t.getField("v"), 3).as("s"),
+            (-t.getField("fidx")).as("nf"))))
+        val assigned = withCoarse.join(seedArrs, "coarse")
+          .withColumn("cell", col("coarse") * lit(f) + (-bestF.getField("nf")))
           .select(col("cell"), col("vec_id"), col("v"))
           .localCheckpoint() // reused 3×: totals + both join sides
         val pairs = assigned
@@ -1023,9 +1062,11 @@ object LlmOps {
         |  AND ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 3) >= 0.9""".stripMargin,
 
     // semantic dedup: replay the adaptive cell count (k = max(4, n/256)),
-    // the seed-cell assignment (argmax of round-3 cosine, ties to the
-    // smaller cell — the q_kmeans idiom), the planted scaled copies, and
-    // the within-cell pair/drop bookkeeping
+    // the TWO-LEVEL assignment — m = ceil(sqrt(k)) coarse seeds (lowest
+    // vec_ids), then each coarse cell's own f = ceil(k/m) lowest-vec_id
+    // members as fine seeds; both levels argmax round-3 cosine with
+    // ties to the smaller index; cell = coarse*f + fine — the planted
+    // scaled copies, and the within-cell pair/drop bookkeeping
     "q_dedup_semantic" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1035,16 +1076,32 @@ object LlmOps {
         |  SELECT vec_id + 10000000, LIST_TRANSFORM(v, x -> x * 0.5)
         |  FROM base WHERE vec_id % 50 = 0),
         |kk AS (SELECT GREATEST(4, COUNT(*) // 256) AS k FROM aug),
+        |mm AS (SELECT CAST(CEIL(SQRT(k)) AS INT) AS m,
+        |         CAST(CEIL(CAST(k AS DOUBLE) / CEIL(SQRT(k))) AS INT) AS f
+        |       FROM kk),
         |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
-        |         AS cell, v AS c
+        |         AS cidx, v AS c
         |       FROM aug
         |       QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id)
-        |         <= (SELECT k FROM kk)),
-        |a AS (SELECT vec_id, v, cell FROM (
-        |  SELECT aug.vec_id, aug.v, c0.cell,
+        |         <= (SELECT m FROM mm)),
+        |ca AS (SELECT vec_id, v, cidx AS coarse FROM (
+        |  SELECT aug.vec_id, aug.v, c0.cidx,
         |    ROW_NUMBER() OVER (PARTITION BY aug.vec_id ORDER BY
-        |      ROUND(LIST_COSINE_SIMILARITY(aug.v, c0.c), 3) DESC, c0.cell)
+        |      ROUND(LIST_COSINE_SIMILARITY(aug.v, c0.c), 3) DESC, c0.cidx)
         |      AS rk FROM aug, c0) WHERE rk = 1),
+        |sub AS (SELECT coarse,
+        |          CAST(ROW_NUMBER() OVER (PARTITION BY coarse
+        |            ORDER BY vec_id) - 1 AS INT) AS fidx, v AS c
+        |        FROM ca
+        |        QUALIFY ROW_NUMBER() OVER (PARTITION BY coarse
+        |          ORDER BY vec_id) <= (SELECT f FROM mm)),
+        |a AS (SELECT vec_id, v,
+        |        coarse * (SELECT f FROM mm) + fidx AS cell FROM (
+        |  SELECT ca.vec_id, ca.v, ca.coarse, sub.fidx,
+        |    ROW_NUMBER() OVER (PARTITION BY ca.vec_id ORDER BY
+        |      ROUND(LIST_COSINE_SIMILARITY(ca.v, sub.c), 3) DESC, sub.fidx)
+        |      AS rk FROM ca JOIN sub ON ca.coarse = sub.coarse)
+        |  WHERE rk = 1),
         |p AS (SELECT x.cell, x.vec_id AS a, y.vec_id AS b
         |      FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
         |      WHERE ROUND(LIST_COSINE_SIMILARITY(x.v, y.v), 3) >= 0.95),
