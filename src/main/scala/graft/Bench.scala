@@ -569,12 +569,15 @@ object Bench {
       val ms = scala.collection.mutable.Buffer[RunMeasure]()
       (1 to initialRuns).foreach(_ =>
         if (budgetOk) run(label, mk, d, cap).foreach(ms += _))
-      if (ms.isEmpty && contendedStart && budgetOk) {
-        // every attempt was timeout-cancelled on a host that was ALREADY
-        // loaded before the bench started — noise, not plan cost: one
-        // more round before recording a cancelled point
-        System.err.println(s"[bench] scale $label cancelled under " +
-          f"ambient load $ambientLoad%.1f - retrying once")
+      if (ms.isEmpty && budgetOk) {
+        // every attempt was timeout-cancelled. On this host that is as
+        // likely a multi-minute hypervisor-starvation window as real
+        // plan cost (r10: an sf3 leg a quiet host completes in 219 s
+        // cancelled at 420 s while the canary read 0.33-0.56) — one
+        // more attempt round before recording a cancelled point, budget
+        // permitting. A genuinely over-cap query costs one extra cap.
+        System.err.println(s"[bench] scale $label: all attempts " +
+          f"cancelled (ambient load $ambientLoad%.1f) - retrying once")
         (1 to initialRuns).foreach(_ =>
           if (budgetOk) run(label, mk, d, cap).foreach(ms += _))
       }

@@ -23,16 +23,34 @@ package graft
   * mid-job (FetchFailed). Liveness via ProcessHandle is exact.
   */
 object LocalDirs {
+  /** Minimum free tmpfs bytes required to point the shuffle at shm:
+    * /dev/shm pages and executor heap share the same physical memory,
+    * so building a session against a nearly-full tmpfs trades invisible
+    * page-pressure thrash for the disk latency it was avoiding. Below
+    * the floor (default 16 GiB, `GRAFT_SHM_MIN_FREE_GB`) the session
+    * falls back to the disk tmpdir and says so on stderr — slower but
+    * honest, and the bench artifact's shm high-water column shows why. */
+  private def shmFloorBytes: Long =
+    sys.env.getOrElse("GRAFT_SHM_MIN_FREE_GB", "16").toLong * (1L << 30)
+
   def dir: String = {
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite) {
       val root = new java.io.File(shm, "graft-shuffle")
       root.mkdirs()
       sweepStale(root)
-      val mine = new java.io.File(root,
-        s"pid-${ProcessHandle.current().pid()}")
-      mine.mkdirs()
-      mine.getAbsolutePath
+      val free = shm.getUsableSpace
+      if (free < shmFloorBytes) {
+        System.err.println(f"[graft] /dev/shm free ${free / 1e9}%.1f GB " +
+          f"< floor ${shmFloorBytes / 1e9}%.1f GB - shuffle falls back " +
+          "to disk tmpdir for this session")
+        System.getProperty("java.io.tmpdir")
+      } else {
+        val mine = new java.io.File(root,
+          s"pid-${ProcessHandle.current().pid()}")
+        mine.mkdirs()
+        mine.getAbsolutePath
+      }
     } else System.getProperty("java.io.tmpdir")
   }
 

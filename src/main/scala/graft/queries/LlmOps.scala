@@ -481,6 +481,31 @@ object LlmOps {
           expr("right(clean, 12)").as("tail"))
     }),
 
+    // ---- markup/boilerplate strip: the HTML-ish cleanup every
+    // web-corpus pipeline runs before tokenization (tag removal, URL
+    // removal, whitespace collapse). The fixture text is clean prose,
+    // so the markup is PLANTED deterministically (tag wrap + per-doc
+    // URL + self-closing break) and then stripped — the oracle replays
+    // the plant AND the strip, so every rule is value-checked against
+    // the cleaned length and head, not just smoke-run. Pure map-side
+    // regex; scales with corpus bytes.
+    "q_text_strip_markup" -> ((s, d) => {
+      val raw = concat(lit("<p class=\"doc\">"),
+        coalesce(col("text"), lit("")),
+        lit("</p> see https://ex.am/d/"), col("doc_id").cast("string"),
+        lit(" <br/>"))
+      val clean = trim(regexp_replace(regexp_replace(regexp_replace(raw,
+        "<[^>]*>", " "),
+        "https?://[^ ]+", " "),
+        "[ \t\n\r]+", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("raw"), clean.as("clean"))
+        .select(col("doc_id"),
+          length(col("raw")).as("raw_len"),
+          length(col("clean")).as("clean_len"),
+          expr("substring(clean, 1, 40)").as("head"))
+    }),
+
     // ---- BM25 retrieval scoring (Lucene form, k1=1.2, b=0.75): the
     // query set is the term multiset of docs 0-4; scoring is the
     // inverted-index join pattern (query terms -> postings), so work is
@@ -1511,6 +1536,22 @@ object LlmOps {
         |    '[ \t\n\r]+', ' ', 'g')) AS clean FROM d0)
         |SELECT doc_id, LENGTH(dirty) AS dirty_len,
         |  LENGTH(clean) AS clean_len, RIGHT(clean, 12) AS tail
+        |FROM c""".stripMargin,
+
+    // replay the planted markup and all three strip rules; lengths and
+    // head value-check the rules (tags, URLs, whitespace collapse)
+    "q_text_strip_markup" ->
+      """WITH r AS (SELECT doc_id,
+        |  '<p class="doc">' || COALESCE(text, '') || '</p> see ' ||
+        |  'https://ex.am/d/' || CAST(doc_id AS VARCHAR) || ' <br/>' AS raw
+        |  FROM documents),
+        |c AS (SELECT doc_id, raw,
+        |  TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(raw,
+        |    '<[^>]*>', ' ', 'g'),
+        |    'https?://[^ ]+', ' ', 'g'),
+        |    '[ \t\n\r]+', ' ', 'g')) AS clean FROM r)
+        |SELECT doc_id, LENGTH(raw) AS raw_len,
+        |  LENGTH(clean) AS clean_len, SUBSTRING(clean, 1, 40) AS head
         |FROM c""".stripMargin,
 
     // mirror every double op of the Spark side exactly (same literals,
