@@ -177,6 +177,7 @@ object Bench {
         else 0.0
       cpuAccumSec + live
     }
+    def isRunning: Boolean = running
     def start(): Unit = synchronized {
       if (running) return
       running = true
@@ -228,6 +229,7 @@ object Bench {
   private[graft] object ShmWatch {
     private val maxUsed = new java.util.concurrent.atomic.AtomicLong(-1L)
     @volatile private var running = false
+    def isRunning: Boolean = running
     def start(): Unit = synchronized {
       if (running) return
       running = true
@@ -482,6 +484,12 @@ object Bench {
     ScaleFixture.ensure(spark, sfDir, outDir, factor)
     ScaleFixture.ensure(spark, sfDir, outDir3, factor3)
     CpuClock.register(spark.sparkContext)
+    // instruments this call STARTED it must also stop (Bench.main owns
+    // its own pair for the whole bench): otherwise a standalone caller
+    // (RunScale) leaves the canary spin thread burning a full core from
+    // measurement end until JVM exit and biases its later CPU reads
+    val ownCanary = !Canary.isRunning
+    val ownShm = !ShmWatch.isRunning
     Canary.start()
     ShmWatch.start()
     import org.apache.spark.sql.DataFrame
@@ -596,7 +604,7 @@ object Bench {
       else (None, extra, false)
     }
     val pts = scala.collection.mutable.Buffer[(String, ScalePoint)]()
-    entries.foreach { case (label, mk) =>
+    try entries.foreach { case (label, mk) =>
       try {
         var loadMax = loadAvg1m
         ShmWatch.reset()
@@ -643,6 +651,9 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale point $label failed: $e")
       }
+    } finally {
+      if (ownCanary) Canary.stop()
+      if (ownShm) ShmWatch.stop()
     }
     (factor, factor3, pts.toSeq)
   }
@@ -769,7 +780,7 @@ object Bench {
            |  "n_cpu": $nCpu,
            |  "budget_sec": $budgetSec,
            |  "n_budget_truncated": ${scaleT.count(_._2.budgetTruncated)},
-           |  "budget_note": "global wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC): when exceeded, remaining scale legs/retries are skipped and marked budget_truncated instead of overrunning the driver (r9's artifact died rc=124); the artifact is rewritten after the suite and after EVERY scale point, so a kill truncates coverage, never the round record. CPU seconds everywhere are process CPU MINUS the canary spin thread's own burn (ThreadMXBean), so the stall instrument no longer biases exponent_cpu; the canary runs for the whole bench including the suite. shm_hwm_mb per scale point = high-water /dev/shm usage during the point (tmpfs shuffle pages compete with executor heap); shuffle refs are GC'd between points",
+           |  "budget_note": "global wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC): when exceeded, remaining scale legs/retries are skipped and marked budget_truncated instead of overrunning the driver (r9's artifact died rc=124); the artifact is rewritten after the suite and after EVERY scale point, so a kill truncates coverage, never the round record. CPU seconds everywhere are process CPU MINUS the canary spin thread's own burn (ThreadMXBean), so the stall instrument no longer biases exponent_cpu; the canary runs for the whole bench including the suite. shm_hwm_mb per scale point = high-water usage of the WHOLE /dev/shm filestore during the point (tmpfs pages compete with executor heap for physical memory whoever wrote them, so this can include other tenants' pages - it explains pressure, it does not attribute it); shuffle refs are GC'd between points",
            |  "total_min_sec": ${f3(timings.values.sum)},
            |  "n_queries": ${timings.size},
            |  "n_contended": $nContended,

@@ -54,10 +54,14 @@ object LocalDirs {
     } else System.getProperty("java.io.tmpdir")
   }
 
-  /** tmpfs bytes currently used under the shuffle root — sampled into
-    * the bench artifact so shm pressure (pages compete with executor
-    * heap in the same physical memory) is a recorded number, not a
-    * guess. -1 when unavailable. */
+  /** Bytes currently used on the WHOLE /dev/shm filestore (total −
+    * usable) — deliberately not scoped to the graft shuffle root:
+    * tmpfs pages compete with executor heap for the same physical
+    * memory regardless of which tenant wrote them, so whole-filestore
+    * usage is the pressure number the bench artifact's `shm_hwm_mb`
+    * records (it can therefore include other tenants' pages — a
+    * high-water mark here explains pressure, it does not attribute
+    * it). -1 when unavailable. */
   def shmUsedBytes: Long =
     try {
       val root = java.nio.file.Paths.get("/dev/shm")

@@ -229,28 +229,40 @@ object GroupTopKStrategy extends SparkStrategy {
   * session-build path is `graft.GraftSessionExtensions`). */
 object GroupTopK {
   val MaxBufferedRowsKey = "spark.graft.topk.maxBufferedRows"
-  /** Default heap budget per task. Deliberately 1M (was 4M): the final
-    * pass retains a COPY of every buffered row in per-group priority
-    * queues — at the r10 ann sf3 point, 3M-row final inputs per task
-    * kept ~8 GB of small objects live across 32 tasks and GC wall
-    * exceeded task CPU (710 s vs 224 s). Past the budget the final pass
-    * hands off to Spark's spillable UnsafeExternalRowSorter, whose
-    * memory-managed pages don't churn the GC — for multi-million-row
-    * group-topk inputs the sort path is strictly faster than the heap
-    * path it replaces. The partial pass just flushes a generation
-    * sooner (correct by superset argument in the class scaladoc). */
-  val DefaultMaxBufferedRows: Long = 1L * 1024 * 1024
+  /** Default heap budget per task: 4M rows. The r10 ann-sf3 profile
+    * showed that MULTI-million-row final inputs per task keep ~8 GB of
+    * copied small objects live across 32 tasks (GC wall 710 s vs 224 s
+    * task CPU), and past the budget the final pass hands off to Spark's
+    * spillable UnsafeExternalRowSorter whose memory-managed pages don't
+    * churn the GC — so the ANN bounded path passes an explicit 1M
+    * budget ([[graft.similarity.Ann.AnnTopKBudget]]). That finding was
+    * measured ONLY at multi-M-row ANN finals; the default stays 4M so
+    * mid-size workloads (1–4M buffered rows per task — the dedup/
+    * keep-best family at suite scale) keep the cheaper in-memory heap
+    * path instead of silently taking the external-sort fallback
+    * (r10 briefly lowered the global default to 1M and the very next
+    * suite anchor drifted the GroupTopK-heavy family +30–50%). The
+    * partial pass just flushes a generation sooner under a smaller
+    * budget (correct by the superset argument in the class scaladoc). */
+  val DefaultMaxBufferedRows: Long = 4L * 1024 * 1024
 
+  /** `maxBufferedRows`: per-call override of the heap budget; when
+    * None, the session conf [[MaxBufferedRowsKey]] (default
+    * [[DefaultMaxBufferedRows]]) applies. Callers whose FINAL pass is
+    * known to buffer multi-million rows per task (ANN bounded caps)
+    * pass a small budget to get the spillable-sort path without
+    * mutating session state for everyone else. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[Column],
-                   order: Seq[Column], k: Int): DataFrame = {
+                   order: Seq[Column], k: Int,
+                   maxBufferedRows: Option[Long] = None): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GroupTopKStrategy
     }
-    val budget = spark.conf
-      .get(MaxBufferedRowsKey, DefaultMaxBufferedRows.toString).toLong
+    val budget = maxBufferedRows.getOrElse(spark.conf
+      .get(MaxBufferedRowsKey, DefaultMaxBufferedRows.toString).toLong)
     val node = GroupTopKNode(
       groupCols.map(PlanBridge.expression),
       order.map(PlanBridge.sortOrder), k, budget, PlanBridge.analyzed(df))

@@ -30,6 +30,26 @@ import graft.vector.VectorFunctions
   */
 object Ann {
 
+  /** GroupTopK heap budget for the BOUNDED corpus-vs-corpus path: its
+    * final passes buffer multi-million rows per task at the 30× scale
+    * point (~3M copied rows live in priority queues per task — the r10
+    * GC-storm finding), where the spillable external-sort fallback is
+    * strictly faster. Passed per-call so the session default
+    * ([[graft.plans.GroupTopK.DefaultMaxBufferedRows]], 4M) stays
+    * tuned for the mid-size finals every other GroupTopK user has. */
+  val AnnTopKBudget: Long = 1L * 1024 * 1024
+
+  /** Ceiling on the query-vector broadcast in [[lshTopKBounded]]'s
+    * re-rank (conf `spark.graft.ann.broadcastMaxBytes`, default 1 GiB —
+    * conservative vs Spark's 8 GB broadcast hard limit and typical
+    * driver headroom). The re-rank contract is "shard the queries so
+    * the active query-vector table broadcasts"; when a caller exceeds
+    * the ceiling anyway, the join falls back to the shuffled-hash
+    * shape — slower (query vectors cross a qid exchange) but it
+    * degrades instead of dying on the broadcast/driver-memory cliff. */
+  val BroadcastMaxBytesKey = "spark.graft.ann.broadcastMaxBytes"
+  val DefaultBroadcastMaxBytes: Long = 1L << 30
+
   /** 64-bit SRP signature of a vector column — a single native
     * expression (see [[graft.expressions.SrpSignature]] for why it must
     * not be built from per-plane literal-array sub-expressions). */
@@ -373,7 +393,7 @@ object Ann {
         .select(col("nid") +: col("bk") +: sigCols("sn"): _*),
       groupCols = Seq(col("bk")),
       order = Seq(xxhash64(col("bk"), col("nid")).asc, col("nid").asc),
-      k = maxBucket)
+      k = maxBucket, maxBufferedRows = Some(AnnTopKBudget))
     // hamming over ALL numSigs·bits signature bits — identical per pair
     // across band rows, so min() just picks it portably. It is computed
     // IN the band-join stage (map-side on the join output, before any
@@ -409,7 +429,7 @@ object Ann {
     val capped = graft.plans.GroupTopK.topKPerGroup(cand,
       groupCols = Seq(col("qid")),
       order = Seq(col("nshared").desc, col("ham").asc, col("nid").asc),
-      k = capPerQuery)
+      k = capPerQuery, maxBufferedRows = Some(AnnTopKBudget))
       .select(col("qid"), col("nid"))
     // RE-RANK (round-10 rework; r10 sf3 stage profile): the old shape —
     // shuffled cv attach, then a qid exchange of every capped pair WITH
@@ -425,13 +445,33 @@ object Ann {
     // top-5 then comes from GroupTopK partial heaps in that stage too:
     // the only post-score exchange carries ≤ 5 scalar rows per (qid,
     // partition) instead of all capped pairs.
+    // broadcast() bypasses autoBroadcastJoinThreshold, so the contract
+    // needs its own guard: measure the query side (one column-pruned
+    // count job — negligible next to the band stages) and only
+    // broadcast when q·dim·8 B fits under the configured ceiling.
+    // Past it, the query attach degrades to the shuffled-hash shape —
+    // the pre-r10 plan: correct, vectors cross one qid exchange —
+    // instead of failing on the 8 GB broadcast / driver-memory cliff.
+    val spark = queries.sparkSession
+    val bcastMax = spark.conf
+      .get(BroadcastMaxBytesKey, DefaultBroadcastMaxBytes.toString).toLong
+    val qBytes = queries.select(col(idCol)).count() * dim * 8L
+    val qAttach = if (qBytes <= bcastMax) broadcast(q)
+      else {
+        System.err.println(f"[ann] re-rank query side ~${qBytes / 1e9}%.2f GB " +
+          f"> broadcast ceiling ${bcastMax / 1e9}%.2f GB - falling back " +
+          "to shuffled query attach (shard the query set to restore " +
+          "the broadcast re-rank)")
+        q.hint("shuffle_hash")
+      }
     val scored = capped.join(c.hint("shuffle_hash"), "nid")
-      .join(broadcast(q), "qid")
+      .join(qAttach, "qid")
       .withColumn("cos_sim", VectorFunctions.cosineRounded(col("qv"), col("cv"), 3))
       .select(col("qid"), col("nid"), col("cos_sim"))
     val top = graft.plans.GroupTopK.topKPerGroup(scored,
       groupCols = Seq(col("qid")),
-      order = Seq(col("cos_sim").desc, col("nid").asc), k = k)
+      order = Seq(col("cos_sim").desc, col("nid").asc), k = k,
+      maxBufferedRows = Some(AnnTopKBudget))
     // rank numbers over the ≤ k survivors per query — q·k rows, not
     // q·capPerQuery
     val w = Window.partitionBy(col("qid"))

@@ -182,6 +182,35 @@ class AnnSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("bounded LSH: over-ceiling query side degrades to shuffled attach, " +
+      "row-identical") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // the guard exists because broadcast() BYPASSES
+    // autoBroadcastJoinThreshold: an unsharded corpus-proportional query
+    // set would hit the 8 GB broadcast / driver-memory cliff. With the
+    // ceiling forced below any real size, the re-rank must fall back to
+    // the shuffled query attach — same rows, zero broadcasts.
+    val qBig = emb.filter(col("vec_id") % 5 === 0)
+    val bcast = Ann.lshTopKBounded(qBig, emb, "vec_id", "embedding", 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    spark.conf.set(Ann.BroadcastMaxBytesKey, "1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Ann.lshTopKBounded(qBig, emb, "vec_id", "embedding", 5, dim = 64)
+      val bhj = df.queryExecution.executedPlan.collect {
+        case b: BroadcastHashJoinExec => b }
+      assert(bhj.isEmpty,
+        s"over-ceiling query side must not broadcast:\n${bhj.mkString("\n")}")
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(got == bcast, s"fallback diverges: only-bcast=${bcast -- got} " +
+        s"only-shuffled=${got -- bcast}")
+    } finally {
+      spark.conf.unset(Ann.BroadcastMaxBytesKey)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("SRP signatures are deterministic across runs") {
     val s1 = Ann.srpSignature(col("embedding"), 64)
     val a = emb.limit(20).select(col("vec_id"), s1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
