@@ -92,7 +92,7 @@ object Bench {
     * the long-stable relational tail. */
   val ScaleFamily = Seq(
     "q_ann_lsh_big", "q_dedup_semantic", "q_label_prop", "q_fuzzy_join",
-    "q_dup_clusters", "q_dedup_keep_best", "q_triangles",
+    "q_dup_clusters", "q_dedup_keep_best", "q_dedup_pipeline", "q_triangles",
     "q_dedup_minhash", "q_dedup_embed", "q_span_dedup",
     "q_pagerank", "q_kmeans", "q_bm25", "q_lm_surprisal",
     "q1_agg", "q_sort_global", "q_window_running", "q_join_smj",
@@ -119,12 +119,18 @@ object Bench {
     * the only stall signal that survives both failure modes; the CPU
     * fields remain in the artifact as the work-accounting record. */
   case class RunMeasure(wall: Double, cpu: Double, taskCpu: Double,
-                        canaryMops: Double = -1.0) {
+                        canaryMops: Double = -1.0,
+                        frozenFrac: Double = -1.0) {
     /** Canary rate relative to the session's best-observed rate —
       * the stall discriminator that survives hypervisor-level CPU
-      * accounting lies (see [[Canary]]). ~1.0 on a healthy host. */
+      * accounting lies (see [[Canary]]). ~1.0 on a healthy host.
+      * `frozenFrac` carries a fraction computed at measurement time
+      * (the suite's per-query record) so a point built FROM the suite
+      * keeps the frac its run actually had instead of recomputing
+      * against a bestMops that moved. */
     def canaryFrac: Double =
-      if (canaryMops < 0 || Canary.bestMops <= 0) -1.0
+      if (frozenFrac >= 0) frozenFrac
+      else if (canaryMops < 0 || Canary.bestMops <= 0) -1.0
       else canaryMops / Canary.bestMops
     def util: Double =
       if (wall <= 0) 1.0
@@ -306,6 +312,29 @@ object Bench {
     * regimes with margin on both sides. */
   val CanaryStallFrac = 0.3
 
+  /** Three-band canary discipline for SCALE LEGS (round-11; extends the
+    * suite's "only canary-gated minima are admissible" rule to the
+    * legs the exponents are computed from — the r10 anchor fed
+    * super-linear graph exponents from legs its own canary rated
+    * 0.35–0.59 under load ~30):
+    *  - frac < [[CanaryStallFrac]] (0.3): stall-suspect — retried, and
+    *    only used if every retry looks the same (stall_suspect flag).
+    *  - frac < [[CanaryExcludeFrac]] (0.5): completed but below the
+    *    healthy-saturated band (calibration: runs that saturate all 32
+    *    cores still measure 0.52+, documented stalls < 0.2) — the leg
+    *    gets ONE extra attempt at a quieter window; if it stays
+    *    degraded it is EXCLUDED from the headline exponent fields
+    *    (the raw seconds and an `exponent_unfiltered` fit stay in the
+    *    artifact, clearly labeled).
+    *  - frac < [[CanaryDegradedFrac]] (0.8): admissible but flagged in
+    *    `degraded_legs` right next to the exponent, so no exponent is
+    *    ever computed from a sub-0.8-canary point without a flag. 0.8
+    *    would be too strict as an EXCLUSION bar — our own 32 worker +
+    *    GC threads legitimately push the canary to 0.5–0.7 on heavy
+    *    legs — but as a disclosure bar it costs nothing. */
+  val CanaryExcludeFrac = 0.5
+  val CanaryDegradedFrac = 0.8
+
   /** `loadMax` is the highest 1-minute load average observed across
     * this point's runs (informative — mid-run load is dominated by our
     * own worker threads); `loadFlagged` marks points measured on a host
@@ -379,6 +408,13 @@ object Bench {
       "literal argmax whose per-row cost grew with k~n/256. Within-" +
       "cell pair scoring (the SemDeDup contract, ~256-wide cells => " +
       "linear total work) unchanged"),
+    "q_dedup_pipeline" -> ("composed exemplar (r11): ONE checkpointed " +
+      "minhash pair table feeds clusters + keep/drop list + leakage-" +
+      "safe split in a single plan - the standalone queries " +
+      "(q_dup_clusters/q_dedup_keep_best/q_split_leakage_safe) each " +
+      "recompute the pairs from scratch, so this measures the shape a " +
+      "real pipeline runs; expected ~ q_dedup_keep_best's cost plus " +
+      "cheap derived branches, NOT 3x the pair cost"),
     "q_label_prop" -> ("3 synchronous mode-label LPA iterations; " +
       "per-iteration plan is PageRank-shaped (one hash join + two " +
       "partial+final aggs, linear in E)"),
@@ -465,7 +501,8 @@ object Bench {
                         ambientLoad: Double = 0.0,
                         suiteCpu: collection.Map[String, Double] = Map.empty,
                         deadlineNanos: Long = Long.MaxValue,
-                        onPoint: Seq[(String, ScalePoint)] => Unit = _ => ())
+                        onPoint: Seq[(String, ScalePoint)] => Unit = _ => (),
+                        suiteCanary: collection.Map[String, Double] = Map.empty)
       : (Int, Int, Seq[(String, ScalePoint)]) = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val factor3 = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR3", "30").toInt
@@ -598,20 +635,41 @@ object Bench {
           f"${ms.map(_.canaryFrac).max}%.3f) - extra run $extra")
         run(label, mk, d, cap).foreach(ms += _)
       }
+      // DEGRADED-leg retry (r11, three-band discipline at the class
+      // constants): a leg that completed but whose best run sits below
+      // the healthy-saturated canary band would be excluded from the
+      // headline exponent — worth one more attempt at a quieter window
+      // before accepting that
+      def bestOf(runs: Seq[RunMeasure]): Option[RunMeasure] = {
+        val clean = runs.filterNot(isSuspect)
+        if (clean.nonEmpty) Some(clean.minBy(_.wall))
+        else if (runs.nonEmpty) Some(runs.minBy(_.wall)) else None
+      }
+      var dExtra = 0
+      while (bestOf(ms.toSeq).exists(m => m.canaryFrac >= 0 &&
+               m.canaryFrac < CanaryExcludeFrac) && dExtra < 1 && budgetOk) {
+        dExtra += 1
+        System.err.println(f"[bench] scale $label: best completed run is " +
+          f"canary-degraded (frac ${bestOf(ms.toSeq).get.canaryFrac}%.3f < " +
+          f"$CanaryExcludeFrac) - one retry for a quieter window")
+        run(label, mk, d, cap).foreach(ms += _)
+      }
       val clean = ms.filterNot(isSuspect)
-      if (clean.nonEmpty) (Some(clean.minBy(_.wall)), extra, false)
-      else if (ms.nonEmpty) (Some(ms.minBy(_.wall)), extra, true)
-      else (None, extra, false)
+      if (clean.nonEmpty) (Some(clean.minBy(_.wall)), extra + dExtra, false)
+      else if (ms.nonEmpty) (Some(ms.minBy(_.wall)), extra + dExtra, true)
+      else (None, extra + dExtra, false)
     }
     val pts = scala.collection.mutable.Buffer[(String, ScalePoint)]()
     try entries.foreach { case (label, mk) =>
       try {
         var loadMax = loadAvg1m
         ShmWatch.reset()
-        // the suite already timed the sf0.1 point min-of-3 (with cpu);
-        // measure it here only for the non-registry companion
+        // the suite already timed the sf0.1 point min-of-3 (with cpu
+        // and canary frac — frozen at measurement time); measure it
+        // here only for the non-registry companion
         val sf01: Option[RunMeasure] = timings.get(label)
-          .map(w => RunMeasure(w, suiteCpu.getOrElse(label, -1.0), -1.0))
+          .map(w => RunMeasure(w, suiteCpu.getOrElse(label, -1.0), -1.0,
+            frozenFrac = suiteCanary.getOrElse(label, -1.0)))
           .orElse(if (remainingSec > MinStartBudgetSec)
             measure(label, mk, sfDir, None, 2, 2)._1 else None)
         val outOfBudget = remainingSec <= MinStartBudgetSec
@@ -733,22 +791,48 @@ object Bench {
         }
       val sc = scaleT.sortBy(_._1).map { case (k, p) =>
         val sf1 = p.sf1.map(m => f3(m.wall)).getOrElse("null")
-        val exp = p.sf1.filter(_ => p.sf01.wall > 0)
+        // Three-band canary discipline (see [[CanaryExcludeFrac]]):
+        // measured legs below the exclusion band never feed a headline
+        // exponent field; every sub-0.8 leg is named in degraded_legs
+        // right next to whatever exponent IS published.
+        val legs = Seq(("sf01", 1.0, Some(p.sf01)),
+            ("sf1", scaleFactor.toDouble, p.sf1),
+            ("sf3", scaleFactor3.toDouble, p.sf3))
+          .collect { case (n, f, Some(m)) => (n, f, m) }
+        def isExcluded(m: RunMeasure): Boolean =
+          m.canaryFrac >= 0 && m.canaryFrac < CanaryExcludeFrac
+        def isDegraded(m: RunMeasure): Boolean =
+          m.canaryFrac >= 0 && m.canaryFrac < CanaryDegradedFrac
+        val admissible = legs.filterNot(l => isExcluded(l._3))
+        val anyExcluded = admissible.size != legs.size
+        val degradedLegs = legs.filter(l => isDegraded(l._3)).map(_._1)
+        val sf01Ok = !isExcluded(p.sf01)
+        val exp = p.sf1
+          .filter(m => p.sf01.wall > 0 && sf01Ok && !isExcluded(m))
           .map(m => f"${math.log(m.wall / p.sf01.wall) / math.log(scaleFactor.toDouble)}%.2f")
           .getOrElse("null")
-        val threePts = Seq((1.0, Some(p.sf01)),
-            (scaleFactor.toDouble, p.sf1), (scaleFactor3.toDouble, p.sf3))
-          .collect { case (f, Some(m)) if m.wall > 0 => (f, m.wall) }
-        val exp3 = if (p.sf3.isEmpty) ""
-          else fitExponent(threePts)
+        val admWall = admissible.collect {
+          case (_, f, m) if m.wall > 0 => (f, m.wall) }
+        val exp3 = if (p.sf3.isEmpty || admWall.size < 3) ""
+          else fitExponent(admWall)
             .map(e => s""","exponent_3pt":${f"$e%.2f"}""").getOrElse("")
-        // CPU-second exponents: host stalls inflate wall, never work,
-        // so these stay valid when a wall point is poisoned
-        val cpuPts = Seq((1.0, Some(p.sf01)),
-            (scaleFactor.toDouble, p.sf1), (scaleFactor3.toDouble, p.sf3))
-          .collect { case (f, Some(m)) if m.cpu > 0 => (f, m.cpu) }
-        val expCpu = fitExponent(cpuPts)
+        // CPU-second exponents: host stalls inflate wall more than
+        // work, but hypervisor oversubscription inflates BOTH (the r9
+        // finding) — so excluded legs stay out of this fit too
+        val cpuPts = admissible.collect {
+          case (_, f, m) if m.cpu > 0 => (f, m.cpu) }
+        val expCpu = if (cpuPts.size < 2) "" else fitExponent(cpuPts)
           .map(e => s""","exponent_cpu":${f"$e%.2f"}""").getOrElse("")
+        // the raw all-legs fit survives, clearly labeled, when the
+        // filter dropped something — numbers are kept, never headline
+        val allWall = legs.collect {
+          case (_, f, m) if m.wall > 0 => (f, m.wall) }
+        val expUnfiltered = if (!anyExcluded || allWall.size < 2) ""
+          else fitExponent(allWall)
+            .map(e => s""","exponent_unfiltered":${f"$e%.2f"}""").getOrElse("")
+        val degField = if (degradedLegs.isEmpty) ""
+          else degradedLegs.map("\"" + _ + "\"")
+            .mkString(""","degraded_legs":[""", ",", "]")
         val sf3 = p.sf3.map(m =>
           s""","sf3_sec":${f3(m.wall)}${cpuFields("sf3", m)}""").getOrElse("")
         val cancelled = p.cancelledAt
@@ -764,7 +848,7 @@ object Bench {
         val note = p.note.map(n => s""","note":"${jesc(n)}"""").getOrElse("")
         s"""    "$k": {"sf01_sec":${f3(p.sf01.wall)}${cpuFields("sf01", p.sf01)},""" +
           s""""sf1_sec":$sf1${p.sf1.map(cpuFields("sf1", _)).getOrElse("")}$sf3,""" +
-          s""""exponent":$exp$exp3$expCpu,"load_avg_1m":${f"${p.loadMax}%.2f"}""" +
+          s""""exponent":$exp$exp3$expCpu$expUnfiltered$degField,"load_avg_1m":${f"${p.loadMax}%.2f"}""" +
           s"""$cancelled$loadFlag$stall$shm$budget$note}"""
       }.mkString(",\n")
       val nContended = timings.keys.count { name =>
@@ -800,7 +884,7 @@ object Bench {
            |    "factor": $scaleFactor,
            |    "factor3": $scaleFactor3,
            |    "canary_best_mops": ${f"${Canary.bestMops}%.1f"},
-           |    "note": "exponent = log(t_sf1/t_sf0.1)/log(factor) on WALL seconds; exponent_3pt = least-squares log-log fit over all measured wall points (the heavy five get a third point at factor3); exponent_cpu = the same fit on CPU seconds. STALL ADJUDICATION: round 9 established (jstack + /proc sampling of a '3100 CPU-s' stage) that the sandbox is a VM whose hypervisor periodically oversubscribes the host, and during those windows GUEST CPU ACCOUNTING LIES - descheduled vCPU time is billed to the running thread, so wall, process-CPU and task-CPU inflate together (identical code measured 2 s and 98 s with 'busy' CPU both times). The canary is the stall-proof instrument: a spin thread whose ops/s rate cannot be faked by the hypervisor; canary_frac = run rate / session best. frac ~1.0 = trustworthy point; frac < 0.3 = the host starved this VM (healthy saturated runs measure 0.52+; documented stalls < 0.2) and the point's wall AND cpu numbers are inflated. Runs are min-of-N with canary-suspect runs re-run up to 2 extra times; a point whose every run is suspect is recorded stall_suspect:true. A completed run averaging < $StallActiveCoresThreshold busy cores over > ${StallMinWallSec.toInt}s wall is also suspect (total starvation). Fixture is ScaleFixture's replica-salted scale-up (per-replica dup structure preserved, cross-replica decorrelated, block-key cardinality scales with data); load_avg_1m is the max 1-min load observed across the point's runs; load_flagged means the AMBIENT load at bench start exceeded ${LoadFlagThreshold.toInt} - and a cancel on such a host is retried once before being recorded",
+           |    "note": "exponent = log(t_sf1/t_sf0.1)/log(factor) on WALL seconds; exponent_3pt = least-squares log-log fit over all measured wall points (the heavy five get a third point at factor3); exponent_cpu = the same fit on CPU seconds. STALL ADJUDICATION: round 9 established (jstack + /proc sampling of a '3100 CPU-s' stage) that the sandbox is a VM whose hypervisor periodically oversubscribes the host, and during those windows GUEST CPU ACCOUNTING LIES - descheduled vCPU time is billed to the running thread, so wall, process-CPU and task-CPU inflate together (identical code measured 2 s and 98 s with 'busy' CPU both times). The canary is the stall-proof instrument: a spin thread whose ops/s rate cannot be faked by the hypervisor; canary_frac = run rate / session best. frac ~1.0 = trustworthy point; frac < 0.3 = the host starved this VM (healthy saturated runs measure 0.52+; documented stalls < 0.2) and the point's wall AND cpu numbers are inflated. Runs are min-of-N with canary-suspect runs re-run up to 2 extra times; a point whose every run is suspect is recorded stall_suspect:true. THREE-BAND LEG ADMISSION (r11): a completed leg whose chosen run's canary_frac < $CanaryExcludeFrac gets one quieter-window retry and, if still degraded, is EXCLUDED from exponent/exponent_3pt/exponent_cpu (raw seconds stay; exponent_unfiltered carries the all-legs fit, clearly labeled); any leg with frac < $CanaryDegradedFrac is named in degraded_legs next to the exponent - so no headline exponent is ever computed from a sub-0.8-canary point without a flag. The exclusion bar sits at $CanaryExcludeFrac, not $CanaryDegradedFrac, because healthy runs that saturate all 32 cores legitimately push the canary to 0.52-0.7 (our own workers steal its fair share) while documented hypervisor stalls measure < 0.2. A completed run averaging < $StallActiveCoresThreshold busy cores over > ${StallMinWallSec.toInt}s wall is also suspect (total starvation). Fixture is ScaleFixture's replica-salted scale-up (per-replica dup structure preserved, cross-replica decorrelated, block-key cardinality scales with data); load_avg_1m is the max 1-min load observed across the point's runs; load_flagged means the AMBIENT load at bench start exceeded ${LoadFlagThreshold.toInt} - and a cancel on such a host is retried once before being recorded",
            |    "queries": {
            |$sc
            |    }
@@ -956,48 +1040,148 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errField$omitField,"sf":"${sfDir.split('/').last}"}"""
     if (line.length > 1800) System.err.println(
       s"[bench] WARN metric line ${line.length} chars — may exceed driver tail capture")
-    // the metric line is printed BEFORE the scale phase (nothing else
-    // writes to stdout after it): a driver kill mid-scale then still
-    // leaves a parseable line in the stdout tail instead of r9's
-    // rc=124/parsed:null total loss
+    // the metric line is printed BEFORE the scale phase as KILL
+    // INSURANCE (a driver kill mid-scale still leaves a parseable line
+    // somewhere in stdout) and re-printed as the very LAST stdout line
+    // after shutdown (see the end of main): the r10 artifact proved the
+    // "nothing else writes to stdout after this" assumption false under
+    // sbt, which folds Spark's stderr shutdown noise into its own
+    // stdout as [error] lines and pushed the line out of the driver's
+    // ~2000-char tail capture two rounds running
     println(line)
     Console.out.flush()
     // Full per-query record to a FILE (not the truncatable stdout tail),
     // written INCREMENTALLY: once after the suite (with the skew
     // fixture), then rewritten after every scale point — a kill
-    // truncates scale coverage but never the suite record.
+    // truncates scale coverage but never the suite record. If a
+    // previous (e.g. full-budget) artifact exists for this round, it is
+    // snapshotted first and RESTORED at the end when this run measured
+    // less than it (budget truncation): a truncated re-run must never
+    // replace the round's full-budget record (r10's re-anchor was 20/24
+    // budget-truncated and overwrote the full one); the truncated run
+    // is kept as bench_quick_r<N>.json instead.
+    val repoDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo"))
+    val artifactPath =
+      repoDir.resolve(f"bench_full_r${roundNumber(repoDir)}%02d.json")
+    val prevSnapshot =
+      repoDir.resolve(f"bench_full_r${roundNumber(repoDir)}%02d.prev.json")
+    if (java.nio.file.Files.exists(artifactPath))
+      try java.nio.file.Files.copy(artifactPath, prevSnapshot,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] WARN artifact snapshot failed: $e") }
     val skew = skewFixtureTimings(spark, nRuns)
     val factorEnv = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val factor3Env = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR3", "30").toInt
-    def flush(pts: Seq[(String, ScalePoint)],
-              recall: (Option[Double], Option[Double])): Unit =
+    val scaleEnabled = sys.env.getOrElse("SPARK_GRAFT_SCALE_BENCH", "1") == "1"
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo") +
+        "/target/scale/sf1")
+    // ROUND-GATE ORDERING (r10 finding: the default-budget re-anchor
+    // spent its whole budget on scale legs and returned the bounded-ANN
+    // recall — a round gate — as null): the recall sample runs BEFORE
+    // the scale legs. It needs only the sf1 fixture (ensured here,
+    // idempotent; scalePointTimings re-ensures for its own legs) and
+    // costs ~2 min — the scale phase then spends whatever remains.
+    val annRecall =
+      if (scaleEnabled)
+        try {
+          ScaleFixture.ensure(spark, sfDir, scaleDir, factorEnv)
+          (boundedAnnRecallSf1(spark, scaleDir),
+            boundedAnnNearDupRecallSf1(spark, scaleDir, sfDir, factorEnv))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] bounded-ANN recall phase failed: $e")
+          (None, None)
+        }
+      else (None, None)
+    def flush(pts: Seq[(String, ScalePoint)]): Unit =
       writeFullArtifact(timings, allRuns, rowCounts, errors, skew,
-        (factorEnv, factor3Env, pts), recall, sfDir, suiteCpu, suiteCanary,
-        budgetSec)
-    flush(Seq.empty, (None, None))
+        (factorEnv, factor3Env, pts), annRecall, sfDir, suiteCpu,
+        suiteCanary, budgetSec)
+    flush(Seq.empty)
     val scalePts =
-      if (sys.env.getOrElse("SPARK_GRAFT_SCALE_BENCH", "1") == "1")
+      if (scaleEnabled)
         try scalePointTimings(spark, sfDir, timings, ambientLoad, suiteCpu,
-          deadlineNanos, pts => flush(pts, (None, None)))
+          deadlineNanos, pts => flush(pts), suiteCanary)
         catch { case e: Throwable =>
           System.err.println(s"[bench] scale points failed: $e")
           (factorEnv, factor3Env, Seq.empty[(String, ScalePoint)])
         }
       else (factorEnv, factor3Env, Seq.empty[(String, ScalePoint)])
-    val annRecall =
-      if (scalePts._3.nonEmpty &&
-          (deadlineNanos - System.nanoTime()) / 1e9 > 120) {
-        val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
-          sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo") +
-            "/target/scale/sf1")
-        (boundedAnnRecallSf1(spark, scaleDir),
-          boundedAnnNearDupRecallSf1(spark, scaleDir, sfDir, scalePts._1))
-      } else (None, None)
     writeFullArtifact(timings, allRuns, rowCounts, errors, skew, scalePts,
       annRecall, sfDir, suiteCpu, suiteCanary, budgetSec)
+    quarantineIfWorse(artifactPath, prevSnapshot,
+      repoDir.resolve(f"bench_quick_r${roundNumber(repoDir)}%02d.json"))
+    // ---- clean shutdown so the metric line is the FINAL stdout line.
+    // The BENCH_r10 tail was one budget-cancelled scale leg's write-task
+    // abort spam, emitted AFTER the (pre-scale) metric line and folded
+    // into stdout by sbt: cancel whatever is still in flight, wait for
+    // the scheduler to drain, silence the stop window, THEN stop and
+    // print the line one last time.
+    val sc = spark.sparkContext
+    try {
+      sc.cancelAllJobs()
+      val drainDeadline = System.nanoTime() + 20L * 1000000000L
+      while (sc.statusTracker.getActiveJobIds().nonEmpty &&
+             System.nanoTime() < drainDeadline)
+        Thread.sleep(200)
+      if (sc.statusTracker.getActiveJobIds().nonEmpty)
+        System.err.println("[bench] WARN active jobs did not drain in 20s")
+    } catch { case _: Throwable => () }
+    sc.setLogLevel("OFF")
     Canary.stop()
     ShmWatch.stop()
     spark.stop()
+    println(line)
+    Console.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }
+
+  /** Keeps the round's best artifact canonical: if this run measured
+    * strictly less than the snapshotted previous artifact (more
+    * budget-truncated points, or fewer scale points at equal
+    * truncation), the new file moves aside to `quickPath` and the
+    * snapshot is restored — a truncated re-run never replaces a
+    * full-budget round record. Comparison is on the artifact's own
+    * self-labels, so it needs no run state. */
+  private def quarantineIfWorse(artifact: java.nio.file.Path,
+                                snapshot: java.nio.file.Path,
+                                quickPath: java.nio.file.Path): Unit =
+    try {
+      if (!java.nio.file.Files.exists(snapshot) ||
+          !java.nio.file.Files.exists(artifact)) return
+      case class Stats(sf: String, trunc: Int, measuredLegs: Int)
+      def stats(p: java.nio.file.Path): Stats = {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        Stats(
+          "\"sf\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(s)
+            .map(_.group(1)).getOrElse("?"),
+          "\"budget_truncated\":true".r.findAllIn(s).size,
+          // legs that actually MEASURED (non-null sf1/sf3 seconds) —
+          // the artifact's real coverage; a truncated point contributes
+          // its nulls, not legs
+          "\"sf[13]_sec\":[0-9]".r.findAllIn(s).size)
+      }
+      val n = stats(artifact)
+      val o = stats(snapshot)
+      // a run at a different scale factor (dev smoke at sf0.01) never
+      // replaces the round record; otherwise fewer measured legs —
+      // or equal legs with more truncation — is strictly less artifact
+      val worse = n.sf != o.sf || n.measuredLegs < o.measuredLegs ||
+        (n.measuredLegs == o.measuredLegs && n.trunc > o.trunc)
+      if (worse) {
+        java.nio.file.Files.move(artifact, quickPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.copy(snapshot, artifact,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        System.err.println(s"[bench] this run measured less than the " +
+          s"existing round artifact (sf ${n.sf} vs ${o.sf}, measured " +
+          s"legs ${n.measuredLegs} vs ${o.measuredLegs}, truncated " +
+          s"${n.trunc} vs ${o.trunc}): kept the old one, this run is " +
+          s"at $quickPath")
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARN artifact quarantine check failed: $e")
+    }
 }

@@ -68,7 +68,7 @@ object Analytics {
     * and without materialization Catalyst re-derives the lineitem
     * self-join under each one (q_triangles' unmaterialized plan had 28
     * lineitem scans). */
-  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
     // node ids as INTs: partkey cardinality fits, and the graph family
     // moves edge/adjacency payloads through every exchange — int keys
     // measured the sf1 triangle pipeline at 73 s vs 131 s on longs

@@ -880,6 +880,53 @@ object LlmOps {
         .select(col("doc_id"), col("group_id"), col("split"))
     }),
 
+    // ---- COMPOSED dedup pipeline — the shape a real 100 TB pipeline
+    // runs. The near-dup pair table (shingle → 64 minhashes → band join
+    // → exact-Jaccard verification: by far the dominant cost) is
+    // computed ONCE and localCheckpoint'ed; duplicate clusters, the
+    // keep/drop list and the leakage-safe split all derive from that
+    // one materialization — where the standalone queries
+    // (q_dup_clusters / q_dedup_keep_best / q_split_leakage_safe) each
+    // recompute the pairs from scratch (correct per-query isolation,
+    // 3× the pair cost). One row per corpus document: cluster label,
+    // FULL-corpus cluster size (singletons = 1 — dupClusters' size
+    // counts paired docs only), representative flag (longest copy,
+    // ties to the lowest id) and the md5-by-cluster split, so near-
+    // duplicates always share a split. PipelineDedupSpec asserts the
+    // executed plan carries no shingle/minhash machinery downstream of
+    // the checkpoint — the pair stage ran exactly once.
+    "q_dedup_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.9)
+        .localCheckpoint()
+      val cc = graft.dedup.Clusters
+        .connectedComponents(pairs, "doc_a", "doc_b")
+      // (doc_id, n_chars, cluster_id) is shared by the size aggregate,
+      // the representative window and the split projection; checkpoint
+      // it once so those branches re-read a materialized slim table
+      // instead of re-running the label join per branch
+      val labeled = docs.select(col("doc_id"), col("n_chars"))
+        .join(cc.select(col("id").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+        .select(col("doc_id"), col("n_chars"), col("cluster_id"))
+        .localCheckpoint()
+      val sizes = labeled.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val h = substring(
+        md5(concat(col("cluster_id").cast("string"), lit("split1"))), 1, 2)
+      labeled
+        .withColumn("keep", row_number().over(w) === 1)
+        .join(sizes, "cluster_id")
+        .withColumn("split",
+          when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("keep"), col("split"))
+    }),
+
     // Mixture rebalancing: deterministically downsample each language to
     // an EQUAL share of the corpus (keep fraction min(1, T/(k·n_s));
     // the fixture's en is ~2.2x oversampled, the rest keep everything) —
@@ -1065,6 +1112,40 @@ object LlmOps {
          |  CASE WHEN SUBSTRING(md5(CONCAT(CAST(group_id AS VARCHAR), 'split1')), 1, 2) < 'cc'
          |         THEN 'train'
          |       WHEN SUBSTRING(md5(CONCAT(CAST(group_id AS VARCHAR), 'split1')), 1, 2) < 'e6'
+         |         THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM g""".stripMargin,
+
+    // the composed pipeline: same closure CTE, then size / keep / split
+    // all off the one full-corpus labeling (singletons label themselves)
+    "q_dedup_pipeline" ->
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+         |sh AS (SELECT doc_id,
+         |         LIST_DISTINCT([ARRAY_TO_STRING(ts[i:i+2], ' ') FOR i IN RANGE(1, LEN(ts)-1)]) AS s
+         |       FROM d WHERE LEN(ts) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND LEN(LIST_INTERSECT(a.s, b.s))
+         |      / (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) >= 0.9),
+         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT u AS id, u AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.v AS r FROM reach JOIN edges e ON e.u = reach.r),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |g AS (SELECT dd.doc_id, COALESCE(c.cluster_id, dd.doc_id) AS cluster_id,
+         |        dd.n_chars
+         |      FROM documents dd LEFT JOIN comp c ON c.id = dd.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |    ORDER BY n_chars DESC, doc_id ASC) = 1 AS keep,
+         |  CASE WHEN SUBSTRING(md5(CONCAT(CAST(cluster_id AS VARCHAR), 'split1')), 1, 2) < 'cc'
+         |         THEN 'train'
+         |       WHEN SUBSTRING(md5(CONCAT(CAST(cluster_id AS VARCHAR), 'split1')), 1, 2) < 'e6'
          |         THEN 'val'
          |       ELSE 'test' END AS split
          |FROM g""".stripMargin,
