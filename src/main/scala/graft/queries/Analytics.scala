@@ -622,6 +622,17 @@ object Analytics {
       for (_ <- 1 to 3) {
         labels = und
           .join(labels.select(col("node").as("dst"), col("label")), "dst")
+          // ONE exchange feeds BOTH aggregates: hash-partitioning on
+          // src alone satisfies the (src,label) clustering too, so the
+          // count agg AND the argmax agg run exchange-free on top of
+          // it. Without this the (src,label) agg shuffles 2|E| rows
+          // and the argmax agg shuffles its output AGAIN on src — and
+          // iteration 1's (src,label) agg gets ZERO partial reduction
+          // (labels are still node ids, so every (src,neighbor-label)
+          // row is distinct: groups == messages == 2|E|, measured in
+          // RunGraphCount), making that second exchange a full extra
+          // 2|E|-row pass per iteration.
+          .repartition(col("src"))
           .groupBy(col("src"), col("label")).agg(count(lit(1)).as("n"))
           .groupBy(col("src"))
           .agg(max_by(col("label"),
