@@ -837,6 +837,13 @@ object Bench {
           case (_, f, m) if m.cpu > 0 => (f, m.cpu) }
         val expCpu = if (cpuPts.size < 2) "" else fitExponent(cpuPts)
           .map(e => s""","exponent_cpu":${f"$e%.2f"}""").getOrElse("")
+        // when the sf01→sf1 headline ratio is unavailable (sf1 leg
+        // excluded) but ≥2 admissible wall points remain (e.g. sf01 +
+        // sf3), publish their fit under its own name — an excluded leg
+        // should cost the poisoned number, not every number
+        val expAdmissible = if (exp != "null" || admWall.size < 2) ""
+          else fitExponent(admWall)
+            .map(e => s""","exponent_admissible":${f"$e%.2f"}""").getOrElse("")
         // the raw all-legs fit survives, clearly labeled, when the
         // filter dropped something — numbers are kept, never headline
         val allWall = legs.collect {
@@ -862,7 +869,7 @@ object Bench {
         val note = p.note.map(n => s""","note":"${jesc(n)}"""").getOrElse("")
         s"""    "$k": {"sf01_sec":${f3(p.sf01.wall)}${cpuFields("sf01", p.sf01)},""" +
           s""""sf1_sec":$sf1${p.sf1.map(cpuFields("sf1", _)).getOrElse("")}$sf3,""" +
-          s""""exponent":$exp$exp3$expCpu$expUnfiltered$degField,"load_avg_1m":${f"${p.loadMax}%.2f"}""" +
+          s""""exponent":$exp$exp3$expCpu$expAdmissible$expUnfiltered$degField,"load_avg_1m":${f"${p.loadMax}%.2f"}""" +
           s"""$cancelled$loadFlag$stall$shm$budget$note}"""
       }.mkString(",\n")
       val nContended = timings.keys.count { name =>
@@ -1159,7 +1166,7 @@ object Bench {
     * snapshot is restored — a truncated re-run never replaces a
     * full-budget round record. Comparison is on the artifact's own
     * self-labels, so it needs no run state. */
-  private def quarantineIfWorse(artifact: java.nio.file.Path,
+  private[graft] def quarantineIfWorse(artifact: java.nio.file.Path,
                                 snapshot: java.nio.file.Path,
                                 quickPath: java.nio.file.Path): Unit =
     try {

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact's self-protection: a re-run that measured less
+  * than the round's existing record (different sf, fewer measured
+  * legs, more truncation) must be quarantined to the quick path, not
+  * promoted. Pure file logic — no Spark session. */
+class BenchArtifactSpec extends AnyFunSuite {
+
+  private def artifact(sf: String, legs: Int, trunc: Int): String = {
+    val legStr = (1 to legs).map(i =>
+      s""""q$i": {"sf01_sec":1.0,"sf1_sec":${i * 1.0}}""").mkString(",")
+    val truncStr = (1 to trunc).map(i =>
+      s""""t$i": {"sf01_sec":1.0,"sf1_sec":null,"budget_truncated":true}""")
+      .mkString(",")
+    s"""{"sf": "$sf", "queries": {$legStr${if (trunc > 0) "," + truncStr else ""}}}"""
+  }
+
+  private def withFiles(cur: String, prev: String)(
+      f: (Path, Path, Path) => Unit): Unit = {
+    val dir = Files.createTempDirectory("graft-artifact-spec")
+    try {
+      val a = dir.resolve("bench_full.json")
+      val s = dir.resolve("bench_full.prev.json")
+      val q = dir.resolve("bench_quick.json")
+      Files.write(a, cur.getBytes("UTF-8"))
+      Files.write(s, prev.getBytes("UTF-8"))
+      f(a, s, q)
+    } finally {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
+  }
+
+  test("fewer measured legs than the snapshot is quarantined and restored") {
+    val full = artifact("sf0.1", legs = 20, trunc = 0)
+    val smoke = artifact("sf0.1", legs = 2, trunc = 0)
+    withFiles(smoke, full) { (a, s, q) =>
+      Bench.quarantineIfWorse(a, s, q)
+      assert(new String(Files.readAllBytes(a), "UTF-8") == full,
+        "the full-budget record must be restored")
+      assert(Files.exists(q), "the lesser run must survive at the quick path")
+      assert(new String(Files.readAllBytes(q), "UTF-8") == smoke)
+    }
+  }
+
+  test("a different scale factor never replaces the record") {
+    val full = artifact("sf0.1", legs = 4, trunc = 20)
+    val dev = artifact("sf0.01", legs = 10, trunc = 0)
+    withFiles(dev, full) { (a, s, q) =>
+      Bench.quarantineIfWorse(a, s, q)
+      assert(new String(Files.readAllBytes(a), "UTF-8") == full)
+      assert(Files.exists(q))
+    }
+  }
+
+  test("equal legs with more truncation is quarantined") {
+    val full = artifact("sf0.1", legs = 8, trunc = 1)
+    val rerun = artifact("sf0.1", legs = 8, trunc = 5)
+    withFiles(rerun, full) { (a, s, q) =>
+      Bench.quarantineIfWorse(a, s, q)
+      assert(new String(Files.readAllBytes(a), "UTF-8") == full)
+    }
+  }
+
+  test("a better or equal run is promoted (no restore)") {
+    val old = artifact("sf0.1", legs = 4, trunc = 20)
+    val better = artifact("sf0.1", legs = 24, trunc = 0)
+    withFiles(better, old) { (a, s, q) =>
+      Bench.quarantineIfWorse(a, s, q)
+      assert(new String(Files.readAllBytes(a), "UTF-8") == better,
+        "a fuller run must stay canonical")
+      assert(!Files.exists(q))
+    }
+  }
+
+  test("missing snapshot is a no-op") {
+    val dir = Files.createTempDirectory("graft-artifact-spec")
+    try {
+      val a = dir.resolve("bench_full.json")
+      Files.write(a, artifact("sf0.1", 2, 0).getBytes("UTF-8"))
+      Bench.quarantineIfWorse(a, dir.resolve("nope.json"),
+        dir.resolve("quick.json"))
+      assert(Files.exists(a))
+    } finally {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
+  }
+}
