@@ -617,9 +617,21 @@ object Analytics {
       val und = e.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
         .localCheckpoint()
-      var labels = und.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
-      for (_ <- 1 to 3) {
+      // ITERATION 1 IS ALGEBRAICALLY SPECIAL under self-initialization
+      // (labels = node ids): every neighbor contributes its own id, and
+      // und is a distinct edge set, so per src ALL neighbor labels are
+      // distinct — every count is 1 and the (n desc, label asc) argmax
+      // reduces exactly to min(neighbor id). That replaces the loop
+      // body's join + zero-reduction (src,label) aggregate (iteration
+      // 1's groups == messages == 2|E|, measured in RunGraphCount — the
+      // single most expensive stage of the query) + argmax with ONE
+      // fully-reducing min aggregate, no join. Provably identical
+      // output; the oracle still replays 3 full mode iterations.
+      var labels = und.groupBy(col("src"))
+        .agg(min(col("dst")).as("label"))
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint()
+      for (_ <- 2 to 3) {
         labels = und
           .join(labels.select(col("node").as("dst"), col("label")), "dst")
           // ONE exchange feeds BOTH aggregates: hash-partitioning on
