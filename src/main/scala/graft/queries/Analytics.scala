@@ -583,9 +583,19 @@ object Analytics {
       val deg = ed.groupBy(col("u")).agg(count(lit(1)).as("dg"))
         .localCheckpoint()
       var r = deg.select(col("u"), lit(1000000000L).as("r"))
-      for (_ <- 1 to 3) {
-        r = ed.join(r, "u").join(deg, "u")
-          .select(col("v"), expr("r div dg").as("contrib"))
+      for (it <- 1 to 3) {
+        // iteration 1's rank vector is the constant 10^9, so its join
+        // is an identity attach — fold the constant into the contrib
+        // expression and skip one node-sized hash join of the 2|E|
+        // edge stream (the same algebraic-first-iteration move as
+        // q_label_prop's min specialization; output identical)
+        val contrib = if (it == 1)
+          ed.join(deg, "u")
+            .select(col("v"), expr("1000000000 div dg").as("contrib"))
+        else
+          ed.join(r, "u").join(deg, "u")
+            .select(col("v"), expr("r div dg").as("contrib"))
+        r = contrib
           .groupBy(col("v")).agg(sum(col("contrib")).as("sc"))
           .select(col("v").as("u"),
             (lit(150000000L) + expr("(85 * sc) div 100")).as("r"))
