@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as the bench metric JSON. Two pieces of sbt decoration defeat that by
+// default: the forked JVM's stdout is re-logged with an "[info] " prefix,
+// and sbt appends its own "[success] Total time: ..." line after main
+// returns. StdoutOutput passes forked stdout through verbatim (stderr
+// stays stderr), and showSuccess kills the trailing summary line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not a task — lintUnused
+// false-positives on it.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1172,20 +1172,8 @@ object Bench {
     try {
       if (!java.nio.file.Files.exists(snapshot) ||
           !java.nio.file.Files.exists(artifact)) return
-      case class Stats(sf: String, trunc: Int, measuredLegs: Int)
-      def stats(p: java.nio.file.Path): Stats = {
-        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        Stats(
-          "\"sf\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(s)
-            .map(_.group(1)).getOrElse("?"),
-          "\"budget_truncated\":true".r.findAllIn(s).size,
-          // legs that actually MEASURED (non-null sf1/sf3 seconds) —
-          // the artifact's real coverage; a truncated point contributes
-          // its nulls, not legs
-          "\"sf[13]_sec\":[0-9]".r.findAllIn(s).size)
-      }
-      val n = stats(artifact)
-      val o = stats(snapshot)
+      val n = artifactStats(artifact)
+      val o = artifactStats(snapshot)
       // a run at a different scale factor (dev smoke at sf0.01) never
       // replaces the round record; otherwise fewer measured legs —
       // or equal legs with more truncation — is strictly less artifact
@@ -1205,4 +1193,47 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] WARN artifact quarantine check failed: $e")
     }
+
+  /** The quarantine decision's view of an artifact, extracted by a real
+    * JSON parse (Jackson, shipped with Spark) rather than the r11 string
+    * regexes that were coupled to exact field spellings AND whitespace —
+    * a formatting tweak in [[writeFullArtifact]] silently disabled the
+    * quarantine (it fails open). Field-name coupling remains inherent
+    * (the stats ARE named fields), so `BenchArtifactSpec` pins this
+    * extraction against the committed round artifact: a rename in
+    * [[writeFullArtifact]] now breaks a test, not the quarantine.
+    *
+    *  - `sf`: the top-level scale-factor label
+    *  - `trunc`: count of `budget_truncated: true` anywhere in the tree
+    *  - `measuredLegs`: count of numeric `sf1_sec`/`sf3_sec` fields —
+    *    legs that actually MEASURED; a truncated point contributes its
+    *    nulls, not legs */
+  private[graft] def artifactStats(p: java.nio.file.Path): ArtifactStats = {
+    import com.fasterxml.jackson.databind.JsonNode
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readAllBytes(p))
+    var trunc = 0
+    var legs = 0
+    def walk(n: JsonNode): Unit =
+      if (n.isObject) {
+        val it = n.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          val (k, v) = (e.getKey, e.getValue)
+          if (k == "budget_truncated" && v.isBoolean && v.asBoolean()) trunc += 1
+          if ((k == "sf1_sec" || k == "sf3_sec") && v.isNumber) legs += 1
+          walk(v)
+        }
+      } else if (n.isArray) {
+        val it = n.elements()
+        while (it.hasNext) walk(it.next())
+      }
+    walk(root)
+    val sf = Option(root.get("sf")).filter(_.isTextual)
+      .map(_.asText).getOrElse("?")
+    ArtifactStats(sf, trunc, legs)
+  }
+
+  private[graft] case class ArtifactStats(sf: String, trunc: Int,
+                                          measuredLegs: Int)
 }

@@ -42,11 +42,17 @@ object Ann {
   /** Ceiling on the query-vector broadcast in [[lshTopKBounded]]'s
     * re-rank (conf `spark.graft.ann.broadcastMaxBytes`, default 1 GiB —
     * conservative vs Spark's 8 GB broadcast hard limit and typical
-    * driver headroom). The re-rank contract is "shard the queries so
-    * the active query-vector table broadcasts"; when a caller exceeds
-    * the ceiling anyway, the join falls back to the shuffled-hash
-    * shape — slower (query vectors cross a qid exchange) but it
-    * degrades instead of dying on the broadcast/driver-memory cliff. */
+    * driver headroom). The guard's size estimate is PAYLOAD-ONLY
+    * (rows·dim·8 B — it does not model the qid key, JVM object headers,
+    * or the BroadcastHashedRelation's hash array, which together run
+    * 2–4× the payload), so the estimate is compared against HALF this
+    * ceiling; size the conf for raw vector bytes and the safety factor
+    * absorbs the relation overhead. The re-rank contract is "shard the
+    * queries so the active query-vector table broadcasts"; when a
+    * caller exceeds the ceiling anyway, the join falls back to the
+    * shuffled-hash shape — slower (query vectors cross a qid exchange)
+    * but it degrades instead of dying on the broadcast/driver-memory
+    * cliff. */
   val BroadcastMaxBytesKey = "spark.graft.ann.broadcastMaxBytes"
   val DefaultBroadcastMaxBytes: Long = 1L << 30
 
@@ -448,20 +454,31 @@ object Ann {
     // broadcast() bypasses autoBroadcastJoinThreshold, so the contract
     // needs its own guard: measure the query side (one column-pruned
     // count job — negligible next to the band stages) and only
-    // broadcast when q·dim·8 B fits under the configured ceiling.
-    // Past it, the query attach degrades to the shuffled-hash shape —
-    // the pre-r10 plan: correct, vectors cross one qid exchange —
-    // instead of failing on the 8 GB broadcast / driver-memory cliff.
+    // broadcast when q·dim·8 B fits under HALF the configured ceiling
+    // (the estimate is payload-only; the halving absorbs the qid key +
+    // 2–4× BroadcastHashedRelation/JVM overhead it does not model, so a
+    // ceiling raised toward Spark's 8 GB hard limit still cannot be
+    // walked off the exact cliff the guard exists to prevent). Past it,
+    // the query attach degrades to the shuffled-hash shape — the
+    // pre-r10 plan: correct, vectors cross one qid exchange — instead
+    // of failing on the 8 GB broadcast / driver-memory cliff. When the
+    // ceiling is effectively unbounded (caller opted out of the guard),
+    // the sizing count() — which re-executes the unmaterialized query
+    // plan — is skipped entirely.
     val spark = queries.sparkSession
     val bcastMax = spark.conf
       .get(BroadcastMaxBytesKey, DefaultBroadcastMaxBytes.toString).toLong
-    val qBytes = queries.select(col(idCol)).count() * dim * 8L
-    val qAttach = if (qBytes <= bcastMax) broadcast(q)
+    val effMax = bcastMax / 2
+    val qBytes =
+      if (effMax >= Long.MaxValue / 4) 0L
+      else queries.select(col(idCol)).count() * dim * 8L
+    val qAttach = if (qBytes <= effMax) broadcast(q)
       else {
         System.err.println(f"[ann] re-rank query side ~${qBytes / 1e9}%.2f GB " +
-          f"> broadcast ceiling ${bcastMax / 1e9}%.2f GB - falling back " +
-          "to shuffled query attach (shard the query set to restore " +
-          "the broadcast re-rank)")
+          f"payload > ceiling/2 ${effMax / 1e9}%.2f GB (payload-only " +
+          "estimate vs halved ceiling; relation overhead runs 2-4x) - " +
+          "falling back to shuffled query attach (shard the query set " +
+          "to restore the broadcast re-rank)")
         q.hint("shuffle_hash")
       }
     val scored = capped.join(c.hint("shuffle_hash"), "nid")

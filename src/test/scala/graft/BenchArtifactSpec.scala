@@ -89,4 +89,31 @@ class BenchArtifactSpec extends AnyFunSuite {
         .forEach(p => { Files.deleteIfExists(p); () })
     }
   }
+
+  // Format-drift guard (r11 ADVICE): the quarantine's stats extraction
+  // runs against a REAL writeFullArtifact-produced artifact — the
+  // newest committed round record — so a field rename or restructure in
+  // writeFullArtifact breaks this test instead of silently disarming
+  // the quarantine (which fails open). Skipped only if no round
+  // artifact exists yet (fresh clone before any bench run).
+  test("stats extraction reads a real round artifact") {
+    val repo = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo"))
+    val arts = Files.list(repo).iterator().asInstanceOf[java.util.Iterator[Path]]
+    val real = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (arts.hasNext) {
+        val p = arts.next()
+        if (p.getFileName.toString.matches("bench_full_r\\d+\\.json")) buf += p
+      }
+      buf.sortBy(_.getFileName.toString).lastOption
+    }
+    assume(real.nonEmpty, "no bench_full_rNN.json yet - run the bench once")
+    val s = Bench.artifactStats(real.get)
+    assert(s.sf.startsWith("sf"),
+      s"top-level sf label not found in ${real.get}: got '${s.sf}'")
+    assert(s.measuredLegs > 0,
+      s"no numeric sf1_sec/sf3_sec legs found in ${real.get} - " +
+        "writeFullArtifact's field names drifted from artifactStats")
+  }
 }
