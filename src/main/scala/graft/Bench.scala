@@ -86,13 +86,16 @@ object Bench {
     *
     * ORDERED BY JUDGING PRIORITY, not alphabetically: the global bench
     * budget truncates from the TAIL, so the points under active
-    * dispute (q_ann_lsh_big's capped asymptote, q_dedup_semantic's
-    * reworked assignment, the newest operator q_label_prop, the heavy
-    * dedup re-anchor) are measured first and a budget kill costs only
-    * the long-stable relational tail. */
+    * dispute (q_ann_lsh_big's host-window-sensitive sf3,
+    * q_triangles — whose committed anchors have never caught a
+    * canary-clean leg, r11 VERDICT item 2 — the last ≥1.0 exponent
+    * q_fuzzy_join, and the new composed q_pipeline_full) are measured
+    * first and a budget kill costs only the long-stable relational
+    * tail. */
   val ScaleFamily = Seq(
-    "q_ann_lsh_big", "q_dedup_semantic", "q_label_prop", "q_fuzzy_join",
-    "q_dup_clusters", "q_dedup_keep_best", "q_dedup_pipeline", "q_triangles",
+    "q_ann_lsh_big", "q_triangles", "q_label_prop", "q_fuzzy_join",
+    "q_dedup_semantic", "q_dup_clusters", "q_dedup_keep_best",
+    "q_dedup_pipeline", "q_pipeline_full",
     "q_dedup_minhash", "q_dedup_embed", "q_span_dedup",
     "q_pagerank", "q_kmeans", "q_bm25", "q_lm_surprisal",
     "q1_agg", "q_sort_global", "q_window_running", "q_join_smj",
@@ -352,13 +355,28 @@ object Bench {
                         loadMax: Double = 0.0, loadFlagged: Boolean = false,
                         stallRetries: Int = 0, stallSuspect: Boolean = false,
                         shmHwmMb: Long = -1L,
-                        budgetTruncated: Boolean = false)
+                        budgetTruncated: Boolean = false,
+                        loadDeferred: Boolean = false)
 
   /** Ambient (pre-bench) 1-minute load above which a scale measurement
     * is untrustworthy on this 32-cpu host (r7's driver run STARTED at
     * load 19.4 — before doing any work — and cancelled two sf1 points a
     * quiet host completes in 39 s / 247 s). */
   val LoadFlagThreshold = 8.0
+
+  /** Scale legs whose wall clocks have been the round-over-round
+    * casualties of host contention windows: both r11 anchors measured
+    * q_triangles at canary 0.49–0.55 under ambient load ~30 while
+    * direct counts ([[RunGraphCount]]) prove the workload exactly
+    * linear, and r10 did the same to q_label_prop. Rather than measure
+    * a number the canary will only flag post-hoc, a fragile leg whose
+    * START sees 1-minute load above [[LoadDeferThreshold]] is pushed
+    * to the back of the queue ONCE (artifact field `load_deferred`) —
+    * a load-watermark reorder, not a retry, so it costs zero extra
+    * runs when the host is quiet. */
+  val FragileLegs: Set[String] = Set("q_triangles", "q_label_prop",
+    "q_pagerank")
+  val LoadDeferThreshold = 12.0
 
   private def loadAvg1m: Double = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.getSystemLoadAverage
@@ -415,6 +433,23 @@ object Bench {
       "recompute the pairs from scratch, so this measures the shape a " +
       "real pipeline runs; expected ~ q_dedup_keep_best's cost plus " +
       "cheap derived branches, NOT 3x the pair cost"),
+    "q_pipeline_full" -> ("the r12 composed FULL path: the " +
+      "q_dedup_pipeline shape (one checkpointed pair table -> " +
+      "clusters/keep/split) extended by the residual-contamination " +
+      "5-gram semi-join of val/test docs against the SHIPPED " +
+      "(keep=true) train set - five pipeline consumers as one plan; " +
+      "expected ~ q_dedup_pipeline + q_contamination-shaped gram " +
+      "stage, both individually linear-adjudicated"),
+    "q_fuzzy_join" -> ("(p_size, length-band) composite-block " +
+      "levenshtein<=2 self-match. ADJUDICATED LINEAR by direct count " +
+      "(RunFuzzyCount r12, SHUFFLE_TUNING): candidate pairs (= " +
+      "levenshtein evaluations, the dominant compute) scale exactly " +
+      "10.00x/30.00x across sf0.1/sf1/sf3 (7.82M/78.2M/234.5M) with " +
+      "max block occupancy CONSTANT at 411 rows - the blocking key " +
+      "grows with the corpus, per-block density does not, so the r11 " +
+      "anchor's 1.06 wall exponent at clean canaries is memory-" +
+      "subsystem/host effects, not workload; ScaleLinearitySpec pins " +
+      "the invariant in sbt test"),
     "q_label_prop" -> ("3 synchronous mode-label LPA iterations; " +
       "per-iteration plan is PageRank-shaped (one hash join + two " +
       "aggs over ONE src-hash exchange, linear in E). ADJUDICATED " +
@@ -674,8 +709,24 @@ object Bench {
       else (None, extra + dExtra, false)
     }
     val pts = scala.collection.mutable.Buffer[(String, ScalePoint)]()
-    try entries.foreach { case (label, mk) =>
-      try {
+    // load-watermark reorder for the known-fragile graph legs (see
+    // [[FragileLegs]]): a fragile leg starting into an ambient-load
+    // spike is deferred to the queue tail ONCE instead of measured
+    // into a number the canary can only flag after the fact
+    val queue = scala.collection.mutable.Queue(entries: _*)
+    val deferredOnce = scala.collection.mutable.Set[String]()
+    try while (queue.nonEmpty) {
+      val (label, mk) = queue.dequeue()
+      val wasDeferred = deferredOnce.contains(label)
+      if (FragileLegs.contains(label) && !wasDeferred && queue.nonEmpty &&
+          loadAvg1m > LoadDeferThreshold &&
+          remainingSec > MinStartBudgetSec * 4) {
+        deferredOnce += label
+        System.err.println(f"[bench] scale $label: ambient load " +
+          f"$loadAvg1m%.1f > $LoadDeferThreshold%.1f - deferring fragile " +
+          "leg to the queue tail for a quieter window")
+        queue.enqueue((label, mk))
+      } else try {
         var loadMax = loadAvg1m
         ShmWatch.reset()
         // the suite already timed the sf0.1 point min-of-3 (with cpu
@@ -711,7 +762,7 @@ object Bench {
             scaleNotes.get(label), loadMax, contendedStart, r1 + r3,
             s1 || s3,
             if (ShmWatch.hwmBytes < 0) -1L else ShmWatch.hwmBytes / 1000000L,
-            truncated)
+            truncated, wasDeferred)
           // flush the artifact after EVERY point: a driver kill then
           // truncates coverage instead of destroying the round record
           onPoint(pts.toSeq)
@@ -728,6 +779,66 @@ object Bench {
       if (ownShm) ShmWatch.stop()
     }
     (factor, factor3, pts.toSeq)
+  }
+
+  /** Least-squares slope of ln t over ln factor across every measured
+    * point (2 or 3): with three points a single stalled measurement
+    * bends the fit visibly instead of silently doubling the exponent. */
+  private[graft] def fitExponent(pts: Seq[(Double, Double)]): Option[Double] =
+    if (pts.size < 2) None
+    else {
+      val xs = pts.map(p => math.log(p._1))
+      val ys = pts.map(p => math.log(p._2))
+      val xm = xs.sum / xs.size
+      val ym = ys.sum / ys.size
+      val den = xs.map(x => (x - xm) * (x - xm)).sum
+      if (den == 0) None
+      else Some(xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum / den)
+    }
+
+  /** Self-adjudicating headline exponent (r12, VERDICT item 4). The r11
+    * anchors burned retry budget re-rolling q_ann_lsh_big's sf3 wall
+    * (146 s vs 362 s at identical code and bit-identical output) because
+    * no single field NAMED the number to judge: a degraded-window wall
+    * either poisoned the headline or cost a manual re-measure. The
+    * artifact now publishes one `exponent_headline` per point with its
+    * provenance in `headline_source`:
+    *  - every admissible leg in the clean canary band (≥0.8) → the wall
+    *    fit (`wall_3pt` / `wall`; `wall_admissible` when an excluded leg
+    *    dropped out but the survivors are clean);
+    *  - any admissible leg merely degraded (0.5–0.8) → still the wall
+    *    fit, labeled `wall_degraded`;
+    *  - a CPU fit headlines (`cpu`) only when NO two admissible wall
+    *    points exist.
+    * Why the wall stays the headline even degraded — VERDICT r11 item 4
+    * suggested gating on the CPU fit instead, and the r11 anchors
+    * adjudicate AGAINST that on this host's own numbers: co-tenancy
+    * bills hypervisor-stolen cycles to the running thread, so raw CPU
+    * inflates MORE than wall on degraded legs (anchor #2's q_triangles:
+    * exponent_cpu 1.28 on 0.55/0.51-canary legs vs wall 0.93 vs
+    * direct-count exactly linear; q_label_prop r11: cpu 1.43 on a
+    * 0.73-canary leg, group cardinalities exactly linear). Correcting
+    * CPU by canary_frac overcorrects instead: heavy legs legitimately
+    * depress the canary to 0.5–0.7 by saturating all 32 cores (the
+    * documented reason 0.8 is a disclosure bar, not an exclusion bar),
+    * so cpu×frac penalizes exactly the legs that work hardest
+    * (re-derived r12: it would headline q_triangles at ~1.09 against
+    * the count-proven 1.0). The wall fit over admissible legs is the
+    * least-biased instrument available; `degraded_legs`, the raw
+    * seconds, CPU fits and the direct-count notes stay published next
+    * to it — the headline adds provenance, it never hides data. */
+  private[graft] def headlineExponent(
+      admWall: Seq[(Double, Double)], cpuPts: Seq[(Double, Double)],
+      anyDegraded: Boolean, anyExcluded: Boolean)
+      : Option[(Double, String)] = {
+    val wallFit = if (admWall.size >= 2) fitExponent(admWall) else None
+    val cpuFit = if (cpuPts.size >= 2) fitExponent(cpuPts) else None
+    if (wallFit.isDefined)
+      wallFit.map(e => (e,
+        if (anyDegraded) "wall_degraded"
+        else if (anyExcluded) "wall_admissible"
+        else if (admWall.size >= 3) "wall_3pt" else "wall"))
+    else cpuFit.map((_, "cpu"))
   }
 
   private def writeFullArtifact(
@@ -788,21 +899,6 @@ object Bench {
           s""","${prefix}_canary_frac":${f"${m.canaryFrac}%.3f"}""" else ""
         cpu + task + util + canary
       }
-      // least-squares slope of ln t over ln factor across every
-      // measured point (2 or 3): with three points a single stalled
-      // measurement bends the fit visibly instead of silently doubling
-      // the exponent
-      def fitExponent(pts: Seq[(Double, Double)]): Option[Double] =
-        if (pts.size < 2) None
-        else {
-          val xs = pts.map(p => math.log(p._1))
-          val ys = pts.map(p => math.log(p._2))
-          val xm = xs.sum / xs.size
-          val ym = ys.sum / ys.size
-          val den = xs.map(x => (x - xm) * (x - xm)).sum
-          if (den == 0) None
-          else Some(xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum / den)
-        }
       val sc = scaleT.sortBy(_._1).map { case (k, p) =>
         val sf1 = p.sf1.map(m => f3(m.wall)).getOrElse("null")
         // Three-band canary discipline (see [[CanaryExcludeFrac]]):
@@ -854,11 +950,20 @@ object Bench {
         val degField = if (degradedLegs.isEmpty) ""
           else degradedLegs.map("\"" + _ + "\"")
             .mkString(""","degraded_legs":[""", ",", "]")
+        // one named headline per point, with provenance — see
+        // [[headlineExponent]]; degraded-ness is judged over the
+        // ADMISSIBLE legs (excluded ones already left every fit)
+        val headField = headlineExponent(admWall, cpuPts,
+            admissible.exists(l => isDegraded(l._3)), anyExcluded)
+          .map { case (e, src) =>
+            s""","exponent_headline":${f"$e%.2f"},"headline_source":"$src"""" }
+          .getOrElse("")
         val sf3 = p.sf3.map(m =>
           s""","sf3_sec":${f3(m.wall)}${cpuFields("sf3", m)}""").getOrElse("")
         val cancelled = p.cancelledAt
           .map(s => s""","cancelled_at_sec":$s""").getOrElse("")
-        val loadFlag = if (p.loadFlagged) s""","load_flagged":true""" else ""
+        val loadFlag = (if (p.loadFlagged) s""","load_flagged":true""" else "") +
+          (if (p.loadDeferred) s""","load_deferred":true""" else "")
         val stall = (if (p.stallRetries > 0)
             s""","stall_retries":${p.stallRetries}""" else "") +
           (if (p.stallSuspect) s""","stall_suspect":true""" else "")
@@ -869,7 +974,7 @@ object Bench {
         val note = p.note.map(n => s""","note":"${jesc(n)}"""").getOrElse("")
         s"""    "$k": {"sf01_sec":${f3(p.sf01.wall)}${cpuFields("sf01", p.sf01)},""" +
           s""""sf1_sec":$sf1${p.sf1.map(cpuFields("sf1", _)).getOrElse("")}$sf3,""" +
-          s""""exponent":$exp$exp3$expCpu$expAdmissible$expUnfiltered$degField,"load_avg_1m":${f"${p.loadMax}%.2f"}""" +
+          s""""exponent":$exp$exp3$expCpu$expAdmissible$expUnfiltered$degField$headField,"load_avg_1m":${f"${p.loadMax}%.2f"}""" +
           s"""$cancelled$loadFlag$stall$shm$budget$note}"""
       }.mkString(",\n")
       val nContended = timings.keys.count { name =>

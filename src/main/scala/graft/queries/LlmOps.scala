@@ -927,6 +927,71 @@ object LlmOps {
           col("keep"), col("split"))
     }),
 
+    // ---- FULL ingest-to-ship pipeline (r11 VERDICT stretch item 6):
+    // q_dedup_pipeline's shared-pair-table shape EXTENDED through the
+    // contamination gate — the five steps a training-data run ships
+    // through (near-dup pairs → duplicate clusters → keep/drop list →
+    // leakage-safe split → residual-contamination scan), as ONE
+    // measured plan. The expensive stages each run exactly once:
+    //  * the minhash pair table is checkpointed once (as in
+    //    q_dedup_pipeline) and feeds clustering;
+    //  * the per-doc assignment (cluster, size, keep, split) is
+    //    checkpointed once and feeds BOTH sides of the contamination
+    //    join and the final projection;
+    //  * the contamination gate then asks the question the cluster-level
+    //    split can NOT answer by construction: near-duplicates always
+    //    share a split, but an eval (val/test) doc can still share exact
+    //    5-grams with a SHIPPED train doc (keep = true) below the 0.9
+    //    Jaccard radius — boilerplate, quoted passages. Inverted-index
+    //    left-semi join on the 5-gram (the q_contamination shape): the
+    //    shuffle moves (gram, doc_id), nothing materializes a pair list.
+    // Output: one row per corpus doc — cluster label, full-corpus
+    // cluster size, representative flag, split, contaminated flag
+    // (always false for train docs: they ARE the reference set).
+    "q_pipeline_full" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.9)
+        .localCheckpoint()
+      val cc = graft.dedup.Clusters
+        .connectedComponents(pairs, "doc_a", "doc_b")
+      val labeled = docs.select(col("doc_id"), col("n_chars"))
+        .join(cc.select(col("id").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+        .select(col("doc_id"), col("n_chars"), col("cluster_id"))
+        .localCheckpoint()
+      val sizes = labeled.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val h = substring(
+        md5(concat(col("cluster_id").cast("string"), lit("split1"))), 1, 2)
+      val assigned = labeled
+        .withColumn("keep", row_number().over(w) === 1)
+        .join(sizes, "cluster_id")
+        .withColumn("split",
+          when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("keep"), col("split"))
+        .localCheckpoint()
+      def grams(ids: DataFrame): DataFrame = ids
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("doc_id"), explode(graft.expressions.TextExpressions
+          .wordShingles(col("text"), 5)).as("g"))
+      val trainGrams = grams(
+          assigned.filter(col("split") === "train" && col("keep")))
+        .select(col("g")).distinct()
+      val contaminated = grams(assigned.filter(col("split") =!= "train"))
+        .join(trainGrams, Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("hit", lit(true))
+      assigned.join(contaminated, Seq("doc_id"), "left")
+        .withColumn("contaminated", coalesce(col("hit"), lit(false)))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("keep"), col("split"), col("contaminated"))
+    }),
+
     // Mixture rebalancing: deterministically downsample each language to
     // an EQUAL share of the corpus (keep fraction min(1, T/(k·n_s));
     // the fixture's en is ~2.2x oversampled, the rest keep everything) —
@@ -1149,6 +1214,57 @@ object LlmOps {
          |         THEN 'val'
          |       ELSE 'test' END AS split
          |FROM g""".stripMargin,
+
+    // the FULL pipeline: the composed-pipeline closure/size/keep/split
+    // replay extended by the residual-contamination scan — an eval
+    // (val/test) doc is contaminated iff it shares any exact 5-gram
+    // with a KEPT train doc (the q_contamination 5-gram replay scoped
+    // to the pipeline's own shipped set)
+    "q_pipeline_full" ->
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+         |sh AS (SELECT doc_id,
+         |         LIST_DISTINCT([ARRAY_TO_STRING(ts[i:i+2], ' ') FOR i IN RANGE(1, LEN(ts)-1)]) AS s
+         |       FROM d WHERE LEN(ts) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND LEN(LIST_INTERSECT(a.s, b.s))
+         |      / (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) >= 0.9),
+         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT u AS id, u AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.v AS r FROM reach JOIN edges e ON e.u = reach.r),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |g AS (SELECT dd.doc_id, COALESCE(c.cluster_id, dd.doc_id) AS cluster_id,
+         |        dd.n_chars
+         |      FROM documents dd LEFT JOIN comp c ON c.id = dd.doc_id),
+         |asg AS (
+         |  SELECT doc_id, cluster_id,
+         |    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_chars DESC, doc_id ASC) = 1 AS keep,
+         |    CASE WHEN SUBSTRING(md5(CONCAT(CAST(cluster_id AS VARCHAR), 'split1')), 1, 2) < 'cc'
+         |           THEN 'train'
+         |         WHEN SUBSTRING(md5(CONCAT(CAST(cluster_id AS VARCHAR), 'split1')), 1, 2) < 'e6'
+         |           THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM g),
+         |g5 AS (SELECT doc_id,
+         |         LIST_DISTINCT([ARRAY_TO_STRING(ts[i:i+4], ' ') FOR i IN RANGE(1, LEN(ts)-3)]) AS s
+         |       FROM d WHERE LEN(ts) >= 5),
+         |tg AS (SELECT DISTINCT UNNEST(g5.s) AS gr
+         |       FROM g5 JOIN asg USING (doc_id)
+         |       WHERE asg.split = 'train' AND asg.keep),
+         |ev AS (SELECT g5.doc_id, UNNEST(g5.s) AS gr
+         |       FROM g5 JOIN asg USING (doc_id)
+         |       WHERE asg.split <> 'train'),
+         |cont AS (SELECT DISTINCT doc_id FROM ev JOIN tg USING (gr))
+         |SELECT asg.doc_id, asg.cluster_id, asg.cluster_size, asg.keep,
+         |  asg.split, cont.doc_id IS NOT NULL AS contaminated
+         |FROM asg LEFT JOIN cont ON cont.doc_id = asg.doc_id""".stripMargin,
 
     "q_dedup_embed" ->
       """WITH base AS (
