@@ -370,13 +370,16 @@ object Bench {
     * direct counts ([[RunGraphCount]]) prove the workload exactly
     * linear, and r10 did the same to q_label_prop. Rather than measure
     * a number the canary will only flag post-hoc, a fragile leg whose
-    * START sees 1-minute load above [[LoadDeferThreshold]] is pushed
-    * to the back of the queue ONCE (artifact field `load_deferred`) —
-    * a load-watermark reorder, not a retry, so it costs zero extra
-    * runs when the host is quiet. */
+    * START sees a depressed IDLE canary rate (sampled between legs,
+    * while our own executors are quiescent — mid-bench loadavg is
+    * useless here, it is dominated by our own just-finished 32
+    * workers; the first r12 anchor deferred both graph legs off a
+    * self-generated load 16+) is pushed to the back of the queue ONCE
+    * (artifact field `load_deferred`) — a contention-watermark
+    * reorder, not a retry, so it costs one 2 s sample when the host is
+    * quiet and zero extra runs either way. */
   val FragileLegs: Set[String] = Set("q_triangles", "q_label_prop",
     "q_pagerank")
-  val LoadDeferThreshold = 12.0
 
   private def loadAvg1m: Double = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.getSystemLoadAverage
@@ -709,22 +712,34 @@ object Bench {
       else (None, extra + dExtra, false)
     }
     val pts = scala.collection.mutable.Buffer[(String, ScalePoint)]()
-    // load-watermark reorder for the known-fragile graph legs (see
-    // [[FragileLegs]]): a fragile leg starting into an ambient-load
-    // spike is deferred to the queue tail ONCE instead of measured
-    // into a number the canary can only flag after the fact
+    // contention-watermark reorder for the known-fragile graph legs
+    // (see [[FragileLegs]]): a fragile leg starting into an external-
+    // contention window is deferred to the queue tail ONCE instead of
+    // measured into a number the canary can only flag after the fact.
+    // The watermark is a short IDLE canary sample, not loadavg: between
+    // legs our own executors are quiescent, so a depressed spin rate
+    // measures exactly the external contention that poisons the leg.
+    def idleCanaryFrac(sampleMs: Long = 2000L): Double = {
+      if (!Canary.isRunning || Canary.bestMops <= 0) return -1.0
+      val c0 = Canary.count; val t0 = System.nanoTime()
+      Thread.sleep(sampleMs)
+      val m = Canary.observe(Canary.count - c0, (System.nanoTime() - t0) / 1e9)
+      if (m < 0) -1.0 else m / Canary.bestMops
+    }
     val queue = scala.collection.mutable.Queue(entries: _*)
     val deferredOnce = scala.collection.mutable.Set[String]()
     try while (queue.nonEmpty) {
       val (label, mk) = queue.dequeue()
       val wasDeferred = deferredOnce.contains(label)
-      if (FragileLegs.contains(label) && !wasDeferred && queue.nonEmpty &&
-          loadAvg1m > LoadDeferThreshold &&
-          remainingSec > MinStartBudgetSec * 4) {
+      val idleFrac =
+        if (FragileLegs.contains(label) && !wasDeferred && queue.nonEmpty &&
+            remainingSec > MinStartBudgetSec * 4) idleCanaryFrac()
+        else -1.0
+      if (idleFrac >= 0 && idleFrac < CanaryDegradedFrac) {
         deferredOnce += label
-        System.err.println(f"[bench] scale $label: ambient load " +
-          f"$loadAvg1m%.1f > $LoadDeferThreshold%.1f - deferring fragile " +
-          "leg to the queue tail for a quieter window")
+        System.err.println(f"[bench] scale $label: idle canary frac " +
+          f"$idleFrac%.3f < $CanaryDegradedFrac%.1f (external contention) " +
+          "- deferring fragile leg to the queue tail for a quieter window")
         queue.enqueue((label, mk))
       } else try {
         var loadMax = loadAvg1m
