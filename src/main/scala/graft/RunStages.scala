@@ -25,13 +25,27 @@ object RunStages {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-stage max task duration (from task ends): run=cpu sums hide
+    // whether a stage was 32 balanced tasks or one serialized straggler
+    // — the r12 fuzzy-join find (a 31 s single-task eval stage) is
+    // invisible without it
+    val maxTaskMs = scala.collection.concurrent.TrieMap[Int, Long]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val d = te.taskInfo.duration
+          maxTaskMs.updateWith(te.stageId)(
+            p => Some(math.max(p.getOrElse(0L), d)))
+          ()
+        }
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val m = sc.stageInfo.taskMetrics
           println(f"STAGE ${sc.stageInfo.stageId}%3d " +
             f"${sc.stageInfo.name.take(50)}%-50s " +
+            f"tasks=${sc.stageInfo.numTasks}%4d " +
+            f"maxTask=${maxTaskMs.getOrElse(sc.stageInfo.stageId, 0L) / 1e3}%6.1f s " +
             f"run=${m.executorRunTime / 1e3}%8.1f s " +
             f"cpu=${m.executorCpuTime / 1e9}%8.1f s " +
             f"sw=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1f MB " +

@@ -16,6 +16,24 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Work-vs-bytes partitioning guard (r12). Fan-out operators (shingle
+    * explosion, per-row edit-distance DP, bigram transforms) can be
+    * handed ONE task by the bytes-based scan split when their input is
+    * small in bytes — serializing minutes of compute while the rest of
+    * the host idles (measured: the whole fuzzy-join eval stage and the
+    * minhash signature stage each ran single-task at the sf1 point,
+    * `run 31.3 s = cpu 31.1 s`). When the plan has fewer partitions
+    * than the shuffle width, buy eval parallelism with an
+    * explicit-count exchange (explicit so AQE cannot coalesce the
+    * ~MB-sized exchange straight back to one partition); when the scan
+    * is already wide — any real lake — pass through untouched, because
+    * the exchange would be pure I/O waste at 100 TB. */
+  private[graft] def widen(df: DataFrame,
+                           key: org.apache.spark.sql.Column): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions * 2 < n) df.repartition(n, key) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

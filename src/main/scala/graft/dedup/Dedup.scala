@@ -75,10 +75,32 @@ object Dedup {
                    shingleSize: Int = 3, numHashes: Int = 64,
                    bands: Int = 16, threshold: Double = 0.9): DataFrame = {
     val rows = numHashes / bands
-    val sh = docs
-      .select(col(idCol).as("id"),
-        TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // Work-vs-bytes partitioning (r12): documents are tiny in BYTES but
+    // every row fans out into shingle + 64-minhash compute, so a
+    // bytes-based scan split can hand the whole signature stage ONE
+    // task (stage profile at sf1: two 7.8 s single-task stages — the
+    // sig computation re-derived per consumer branch — while 31 cores
+    // sat idle). When the scan yields fewer partitions than the shuffle
+    // width, buy eval parallelism with an explicit-count exchange (AQE
+    // would coalesce the ~MB exchange right back), then a SECOND
+    // exchange carrying the computed shingle arrays so all three
+    // consumers of `sh` (signatures, the a-side and b-side verification
+    // attaches) reuse one materialization instead of re-shingling per
+    // branch (measured 3x the verification-stage CPU when they did).
+    // At real lake scale the scan is already wide and these
+    // corpus-sized exchanges would be pure I/O waste — the condition
+    // keeps the 100 TB plan exchange-free here.
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val slim = docs.select(col(idCol).as("id"), col(textCol).as("gtxt"))
+    val narrowScan = slim.rdd.getNumPartitions * 2 < nPart
+    val sh = {
+      val base = if (narrowScan) slim.repartition(nPart, col("id")) else slim
+      val arrays = base
+        .select(col("id"),
+          TextFunctions.shingles(col("gtxt"), shingleSize).as("sh"))
+        .filter(size(col("sh")) > 0)
+      if (narrowScan) arrays.repartition(nPart, col("id")) else arrays
+    }
 
     val mcols = (0 until numHashes).map(i => col(s"m$i"))
     val keyed = minhashSignatures(sh, numHashes)

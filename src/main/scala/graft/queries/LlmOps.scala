@@ -562,8 +562,14 @@ object LlmOps {
     // broadcasts; the bigram table is corpus-scaled so it SHUFFLE-joins
     // (broadcasting it would not survive 100x).
     "q_lm_surprisal" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"),
-        expr("filter(split(text, ' '), x -> length(x) > 0)").as("arr"))
+      // work-vs-bytes: the bigram transform fans each doc into ~100
+      // struct rows feeding the checkpoint — Tables.widen buys the
+      // parallelism a bytes-split scan of the small corpus cannot see
+      // (r12 profile: a 5.3 s single-task checkpoint stage)
+      val docs = Tables.widen(Tables.documents(s, d)
+          .select(col("doc_id"), col("text")), col("doc_id"))
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> length(x) > 0)").as("arr"))
         // a 0/1-token doc has no bigram: without this guard
         // sequence(1, size-1) DESCENDS (Spark defaults step to -1 when
         // start > stop) and element_at(arr, 0) throws at runtime; the

@@ -148,7 +148,11 @@ object Shape {
     // the span column would be a 64-bit rolling hash instead of the
     // span text (same plan shape, 8x narrower exchange).
     "q_span_dedup" -> ((s, d) => {
-      val sh = Tables.documents(s, d)
+      // work-vs-bytes: the 8-gram explosion fans each doc into ~100
+      // span rows — Tables.widen parallelizes the shingle stage a
+      // bytes-split scan serializes (r12 profile: 4.5 s single-task)
+      val sh = Tables.widen(Tables.documents(s, d)
+          .select(col("doc_id"), col("text")), col("doc_id"))
         .select(col("doc_id"),
           explode(TextFunctions.shingles(col("text"), 8)).as("span"))
       val dup = sh.groupBy(col("span"))
