@@ -24,6 +24,6 @@ import sys, json
 line = sys.stdin.read().strip()
 d = json.loads(line)  # raises -> nonzero exit if decorated/truncated
 assert d.get("metric") == "total" and "queries" in d and "value" in d, d.keys()
-print("OK: last stdout line is the bare metric JSON "
-      f"(value={d[\"value\"]}s, {len(d[\"queries\"])}+ queries)")
+val = d["value"]; nq = len(d["queries"])
+print(f"OK: last stdout line is the bare metric JSON (value={val}s, {nq}+ queries)")
 '

@@ -743,10 +743,18 @@ object Bench {
         else -1.0
       if (idleFrac >= 0 && idleFrac < CanaryDegradedFrac) {
         deferredOnce += label
+        // bounded displacement: re-insert a few entries back, NOT at the
+        // tail — a tail deferral could push the round's most-disputed
+        // leg past the budget horizon and convert a measurable
+        // (flagged) point into a budget-truncated hole, while 2-3 legs
+        // (~minutes) is enough for a contention wave to pass
+        val delay = math.min(3, queue.size)
+        val (ahead, rest) = queue.splitAt(delay)
+        queue.clear()
+        queue ++= ahead; queue += ((label, mk)); queue ++= rest
         System.err.println(f"[bench] scale $label: idle canary frac " +
           f"$idleFrac%.3f < $CanaryDegradedFrac%.1f (external contention) " +
-          "- deferring fragile leg to the queue tail for a quieter window")
-        queue.enqueue((label, mk))
+          f"- deferring fragile leg $delay entries back")
       } else try {
         var loadMax = loadAvg1m
         ShmWatch.reset()

@@ -28,11 +28,16 @@ object Tables {
     * ~MB-sized exchange straight back to one partition); when the scan
     * is already wide — any real lake — pass through untouched, because
     * the exchange would be pure I/O waste at 100 TB. */
+  private[graft] def scanIsNarrow(df: DataFrame): Boolean =
+    df.rdd.getNumPartitions * 2 <
+      df.sparkSession.sessionState.conf.numShufflePartitions
+
   private[graft] def widen(df: DataFrame,
-                           key: org.apache.spark.sql.Column): DataFrame = {
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions * 2 < n) df.repartition(n, key) else df
-  }
+                           key: org.apache.spark.sql.Column): DataFrame =
+    if (scanIsNarrow(df))
+      df.repartition(
+        df.sparkSession.sessionState.conf.numShufflePartitions, key)
+    else df
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

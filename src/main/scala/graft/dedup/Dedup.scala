@@ -92,7 +92,7 @@ object Dedup {
     // keeps the 100 TB plan exchange-free here.
     val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
     val slim = docs.select(col(idCol).as("id"), col(textCol).as("gtxt"))
-    val narrowScan = slim.rdd.getNumPartitions * 2 < nPart
+    val narrowScan = graft.Tables.scanIsNarrow(slim)
     val sh = {
       val base = if (narrowScan) slim.repartition(nPart, col("id")) else slim
       val arrays = base

@@ -50,14 +50,11 @@ object Analytics {
     // the whole eval stage ONE partition (r12 stage profile at sf1:
     // run 31.3 s = cpu 31.1 s on a single core while 31 sat idle —
     // and the leg's stubborn ~1.0 wall exponent was exactly a
-    // single-threaded stage scaling with its candidate count). This
-    // exchange buys eval parallelism, not data movement; the EXPLICIT
-    // partition count keeps AQE from coalescing the ~MB-sized exchange
-    // back to one partition, and both derived sides read the same
-    // exchange (ReuseExchange).
-    val pr = p.repartition(
-      p.sparkSession.sessionState.conf.numShufflePartitions,
-      col("p_partkey"))
+    // single-threaded stage scaling with its candidate count).
+    // Tables.widen buys eval parallelism only when the scan is narrow;
+    // on a wide lake it passes through and both derived sides read the
+    // scan directly (the exchange would be pure I/O waste there).
+    val pr = graft.Tables.widen(p, col("p_partkey"))
     val a = pr.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
       col("p_size").as("size"),
       floor(length(col("p_name")) / bw).cast("long").as("band"))

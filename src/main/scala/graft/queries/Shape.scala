@@ -149,12 +149,19 @@ object Shape {
     // span text (same plan shape, 8x narrower exchange).
     "q_span_dedup" -> ((s, d) => {
       // work-vs-bytes: the 8-gram explosion fans each doc into ~100
-      // span rows — Tables.widen parallelizes the shingle stage a
-      // bytes-split scan serializes (r12 profile: 4.5 s single-task)
-      val sh = Tables.widen(Tables.documents(s, d)
-          .select(col("doc_id"), col("text")), col("doc_id"))
+      // span rows — widen parallelizes the shingle stage a bytes-split
+      // scan serializes (r12 profile: 4.5 s single-task), and the
+      // SECOND exchange carries the EXPLODED (doc_id, span) rows so the
+      // three consumers of `sh` (the span census, the per-doc dup count
+      // and the per-doc total) reuse one materialization instead of
+      // re-shingling per branch — the same shape minhashPairs uses
+      val slim = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val narrow = Tables.scanIsNarrow(slim)
+      val nPart = s.sessionState.conf.numShufflePartitions
+      val sh0 = (if (narrow) slim.repartition(nPart, col("doc_id")) else slim)
         .select(col("doc_id"),
           explode(TextFunctions.shingles(col("text"), 8)).as("span"))
+      val sh = if (narrow) sh0.repartition(nPart, col("doc_id")) else sh0
       val dup = sh.groupBy(col("span"))
         .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
         .select(col("span"))
