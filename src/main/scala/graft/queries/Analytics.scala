@@ -697,8 +697,13 @@ object Analytics {
     // size + mean assigned cosine + first centroid component.
     "q_kmeans" -> ((s, d) => {
       val k = 8
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // work-vs-bytes: widen the 1-partition embeddings scan so the
+      // map-side argmax iterations run 32-way (r12 profile: 3-task
+      // stages) — pass-through on a wide lake
+      val e = graft.Tables.widen(Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v")),
+        col("vec_id"))
         .localCheckpoint()
       def best(cs: Seq[Seq[Double]]): Column =
         array_max(array(cs.zipWithIndex.map { case (c, j) =>

@@ -137,8 +137,14 @@ object LlmOps {
     // integer bookkeeping (total / dup pairs / dropped / kept),
     // hash-exact by construction.
     "q_dedup_semantic" -> ((s, d) => {
-      val base = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // work-vs-bytes: the ~MB embeddings scan is 1 partition and the
+      // per-row cosine argmaxes downstream are the cost — widen so the
+      // checkpointed base is 32-way (r12 profile: 6-task stages,
+      // maxTask 3.6 s)
+      val base = Tables.widen(Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v")),
+        col("vec_id"))
       val scaled = base.filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 10000000L).as("vec_id"),
           transform(col("v"), x => x * lit(0.5)).as("v"))
