@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{BroadcastGuard, Tables}
 import graft.text.TextFunctions
 import graft.dedup.Dedup
 import graft.similarity.Ann
@@ -541,8 +541,12 @@ object LlmOps {
           (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)).as("idf"))
       val q = tf.filter(col("doc_id") < 5)
         .select(col("doc_id").as("qid"), col("tok")).distinct()
+      // idf is VOCABULARY-sized (Heaps' law: it grows with the corpus,
+      // hapax-heavy) — guarded broadcast with a shuffle_hash fallback,
+      // never an unconditional hint (VERDICT r12 item 1)
       q.join(tf, "tok")
-        .join(broadcast(idf), "tok")
+        .join(BroadcastGuard.dim(idf,
+          length(col("tok")) + lit(8), "bm25 idf"), "tok")
         .join(dl, "doc_id")
         .filter(col("doc_id") =!= col("qid"))
         .withColumn("term_score", r6(col("idf") * (col("tf") * 2.2) /
@@ -564,9 +568,11 @@ object LlmOps {
     // floor(log2(ct(w1))) - floor(log2(ct(w1 w2))) = bitlen difference
     // — libm-free, so cross-engine sums are exact with no rounding
     // escape hatch. High sum/bigram ratio = text the corpus LM finds
-    // surprising (the filter signal). The vocab-sized unigram table
-    // broadcasts; the bigram table is corpus-scaled so it SHUFFLE-joins
-    // (broadcasting it would not survive 100x).
+    // surprising (the filter signal). The unigram table is VOCAB-sized
+    // (Heaps-law growth) so it rides the guarded broadcast — measured
+    // payload under the ceiling broadcasts, past it the join degrades
+    // to shuffle_hash; the bigram table is corpus-scaled so it always
+    // SHUFFLE-joins (broadcasting it would not survive 100x).
     "q_lm_surprisal" -> ((s, d) => {
       // work-vs-bytes: the bigram transform fans each doc into ~100
       // struct rows feeding the checkpoint — Tables.widen buys the
@@ -590,7 +596,8 @@ object LlmOps {
         .localCheckpoint()
       val uniCt = bgs.groupBy(col("w1")).agg(count(lit(1)).as("uc"))
       val bgCt = bgs.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
-      bgs.join(broadcast(uniCt), "w1")
+      bgs.join(BroadcastGuard.dim(uniCt,
+          length(col("w1")) + lit(8), "surprisal unigrams"), "w1")
         .join(bgCt, "bg")
         .withColumn("surp",
           length(expr("bin(uc)")) - length(expr("bin(bc)")))
@@ -1032,11 +1039,13 @@ object LlmOps {
     }),
 
     // TF-IDF: two corpus-wide aggregates (term frequency per doc,
-    // document frequency per term) + a broadcast join-back of the small
-    // DF table — the fact-side token stream shuffles exactly once (the
-    // tf groupBy); the per-term and corpus-size aggregates are dims.
-    // Output is capped to doc_id < 100, but DF/IDF are computed over
-    // the FULL corpus (the cap filters the tf side only).
+    // document frequency per term) + a GUARDED broadcast join-back of
+    // the DF table — vocabulary-sized, so the measured-payload guard
+    // decides broadcast vs shuffle_hash (VERDICT r12 item 1); the
+    // fact-side token stream shuffles exactly once (the tf groupBy);
+    // the corpus-size aggregate is a one-row dim. Output is capped to
+    // doc_id < 100, but DF/IDF are computed over the FULL corpus (the
+    // cap filters the tf side only).
     "q_tfidf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val toks = docs
@@ -1047,7 +1056,8 @@ object LlmOps {
       val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val nDocs = docs.select(count(lit(1)).as("n_docs"))
       tf.filter(col("doc_id") < 100)
-        .join(broadcast(dfreq), "tok")
+        .join(BroadcastGuard.dim(dfreq,
+          length(col("tok")) + lit(8), "tfidf df"), "tok")
         .crossJoin(broadcast(nDocs))
         .withColumn("tfidf",
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 3))
