@@ -835,34 +835,45 @@ object Bench {
     *  - every admissible leg in the clean canary band (≥0.8) → the wall
     *    fit (`wall_3pt` / `wall`; `wall_admissible` when an excluded leg
     *    dropped out but the survivors are clean);
-    *  - any admissible leg merely degraded (0.5–0.8) → still the wall
-    *    fit, labeled `wall_degraded`;
-    *  - a CPU fit headlines (`cpu`) only when NO two admissible wall
-    *    points exist.
-    * Why the wall stays the headline even degraded — VERDICT r11 item 4
-    * suggested gating on the CPU fit instead, and the r11 anchors
-    * adjudicate AGAINST that on this host's own numbers: co-tenancy
-    * bills hypervisor-stolen cycles to the running thread, so raw CPU
-    * inflates MORE than wall on degraded legs (anchor #2's q_triangles:
-    * exponent_cpu 1.28 on 0.55/0.51-canary legs vs wall 0.93 vs
-    * direct-count exactly linear; q_label_prop r11: cpu 1.43 on a
-    * 0.73-canary leg, group cardinalities exactly linear). Correcting
-    * CPU by canary_frac overcorrects instead: heavy legs legitimately
-    * depress the canary to 0.5–0.7 by saturating all 32 cores (the
-    * documented reason 0.8 is a disclosure bar, not an exclusion bar),
-    * so cpu×frac penalizes exactly the legs that work hardest
-    * (re-derived r12: it would headline q_triangles at ~1.09 against
-    * the count-proven 1.0). The wall fit over admissible legs is the
-    * least-biased instrument available; `degraded_legs`, the raw
-    * seconds, CPU fits and the direct-count notes stay published next
-    * to it — the headline adds provenance, it never hides data. */
+    *  - SOME admissible legs degraded (0.5–0.8) → still the wall fit
+    *    (clean legs anchor it), labeled `wall_degraded`;
+    *  - EVERY admissible leg degraded (r12 VERDICT item 2, the
+    *    bench_full_r12 q_ann_lsh_big case: sf3 canary 0.773 with no
+    *    clean leg to anchor the fit) → the CPU fit headlines (`cpu`)
+    *    when one exists — at such a point there is NO clean wall
+    *    instrument at all, and CPU seconds are at least invariant to
+    *    pure idle-wait starvation where wall is not. The wall fit
+    *    stays published beside it (`exponent`/`exponent_3pt`) and the
+    *    point carries a `headline_note` naming the switch;
+    *  - a CPU fit also headlines when no two admissible wall points
+    *    exist.
+    * Why the wall still headlines when ANY clean leg anchors the fit —
+    * the r11 anchors adjudicate against a blanket CPU gate on this
+    * host's own numbers: co-tenancy bills hypervisor-stolen cycles to
+    * the running thread, so raw CPU inflates MORE than wall on degraded
+    * legs (anchor #2's q_triangles: exponent_cpu 1.28 on
+    * 0.55/0.51-canary legs vs wall 0.93 vs direct-count exactly linear;
+    * q_label_prop r11: cpu 1.43 on a 0.73-canary leg, group
+    * cardinalities exactly linear). Correcting CPU by canary_frac
+    * overcorrects instead: heavy legs legitimately depress the canary
+    * to 0.5–0.7 by saturating all 32 cores (the documented reason 0.8
+    * is a disclosure bar, not an exclusion bar), so cpu×frac penalizes
+    * exactly the legs that work hardest (re-derived r12: it would
+    * headline q_triangles at ~1.09 against the count-proven 1.0).
+    * Because the same billing lie can inflate an all-degraded CPU fit
+    * too, `ScaleLinearitySpec`'s direct-count pins remain the
+    * tiebreaker of record for the heavy family either way;
+    * `degraded_legs`, the raw seconds, and both fits stay published
+    * next to the headline — it adds provenance, it never hides data. */
   private[graft] def headlineExponent(
       admWall: Seq[(Double, Double)], cpuPts: Seq[(Double, Double)],
-      anyDegraded: Boolean, anyExcluded: Boolean)
+      anyDegraded: Boolean, anyExcluded: Boolean,
+      allDegraded: Boolean = false)
       : Option[(Double, String)] = {
     val wallFit = if (admWall.size >= 2) fitExponent(admWall) else None
     val cpuFit = if (cpuPts.size >= 2) fitExponent(cpuPts) else None
-    if (wallFit.isDefined)
+    if (allDegraded && cpuFit.isDefined) cpuFit.map((_, "cpu"))
+    else if (wallFit.isDefined)
       wallFit.map(e => (e,
         if (anyDegraded) "wall_degraded"
         else if (anyExcluded) "wall_admissible"
@@ -982,10 +993,27 @@ object Bench {
         // one named headline per point, with provenance — see
         // [[headlineExponent]]; degraded-ness is judged over the
         // ADMISSIBLE legs (excluded ones already left every fit)
+        val someDegraded = admissible.exists(l => isDegraded(l._3))
+        val everyDegraded =
+          admissible.nonEmpty && admissible.forall(l => isDegraded(l._3))
         val headField = headlineExponent(admWall, cpuPts,
-            admissible.exists(l => isDegraded(l._3)), anyExcluded)
+            someDegraded, anyExcluded, everyDegraded)
           .map { case (e, src) =>
-            s""","exponent_headline":${f"$e%.2f"},"headline_source":"$src"""" }
+            // self-explaining provenance (r12 VERDICT item 2: the
+            // competing fit was "unexplained in the artifact itself")
+            val noteTxt =
+              if (src == "cpu" && everyDegraded)
+                "every admissible wall leg degraded (no clean anchor) - " +
+                  "cpu fit headlines; wall fit published alongside, " +
+                  "direct-count spec is the tiebreaker"
+              else if (src == "wall_degraded")
+                "clean legs anchor the wall fit; degraded legs named in " +
+                  "degraded_legs - raw cpu inflates more than wall under " +
+                  "co-tenancy (r11 anchors)"
+              else ""
+            val note = if (noteTxt.isEmpty) ""
+              else s""","headline_note":"$noteTxt""""
+            s""","exponent_headline":${f"$e%.2f"},"headline_source":"$src"$note""" }
           .getOrElse("")
         val sf3 = p.sf3.map(m =>
           s""","sf3_sec":${f3(m.wall)}${cpuFields("sf3", m)}""").getOrElse("")
