@@ -95,7 +95,7 @@ object Bench {
   val ScaleFamily = Seq(
     "q_ann_lsh_big", "q_triangles", "q_label_prop", "q_fuzzy_join",
     "q_dedup_semantic", "q_dup_clusters", "q_dedup_keep_best",
-    "q_dedup_pipeline", "q_pipeline_full",
+    "q_dedup_pipeline", "q_pipeline_full", "q_pipeline_report",
     "q_dedup_minhash", "q_dedup_embed", "q_span_dedup",
     "q_pagerank", "q_kmeans", "q_bm25", "q_lm_surprisal",
     "q1_agg", "q_sort_global", "q_window_running", "q_join_smj",

@@ -82,9 +82,9 @@ class PipelineDedupSpec extends SparkSuite {
     val plan = SparkEntry.queries("q_pipeline_full")(spark, sfDir)
       .queryExecution.executedPlan.toString.toLowerCase
     // the pair stage (minhash signatures) must be materialized once;
-    // wordshingles IS expected downstream — the contamination gate
-    // legitimately re-shingles at width 5 off the checkpointed
-    // assignment — so the probe here is minhash machinery specifically
+    // since r13 the width-5 gram table is checkpointed too, so
+    // PipelineReportSpec additionally bans wordshingles downstream —
+    // this probe keeps the original minhash-specific pin
     assert(!plan.contains("minhash"),
       s"pair generation must not replay downstream of the checkpoint:\n$plan")
     assert(plan.contains("existingrdd"),
