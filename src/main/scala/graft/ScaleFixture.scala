@@ -72,46 +72,7 @@ object ScaleFixture {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     // ---- embeddings -------------------------------------------------
-    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
-    val nVec = emb.count()
-    val stats = emb
-      .select(col("label"),
-        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
-      .groupBy(col("label"), col("dim"))
-      .agg(avg(col("x")).as("m"), stddev_pop(col("x")).as("sd"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3)))
-      .toMap
-    val labels = stats.keys.map(_._1).max + 1
-    val dims = stats.keys.map(_._2).max + 1
-    val meanLit = typedlit((0 until labels).map(l =>
-      (0 until dims).map(d => stats((l, d))._1)))
-    val sdLit = typedlit((0 until labels).map(l =>
-      (0 until dims).map(d => stats((l, d))._2)))
-    // uniform(-√3σ, √3σ) has variance σ² — same second moment as the
-    // base clusters, which is what the SRP/IVF geometry keys off
-    def u(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      pmod(seed, lit(2000001L)).cast("double") / 1000000.0 - 1.0
-    val base = emb.crossJoin(reps)
-      .select(
-        (col("vec_id") + col("rep") * nVec).as("vec_id"),
-        when(col("rep") === 0, col("embedding").cast("array<double>"))
-          .otherwise(transform(sequence(lit(0), lit(dims - 1)), i =>
-            element_at(element_at(meanLit, col("label") + 1), i + 1) +
-              u(xxhash64(col("vec_id"), col("rep"), i)) * lit(math.sqrt(3.0)) *
-              element_at(element_at(sdLit, col("label") + 1), i + 1)))
-          .as("embedding"),
-        col("label"))
-    val twins = base.filter(col("vec_id") >= nVec &&
-        pmod(xxhash64(col("vec_id")), lit(33)) === 0)
-      .select((col("vec_id") + lit(factor.toLong) * nVec).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          x + u(xxhash64(col("vec_id"), i, lit(7))) * 0.01).as("embedding"),
-        col("label"))
-    base.union(twins)
-      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
-        col("label"))
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-
+    writeEmbeddings(spark, baseDir, outDir, factor)
     // ---- lineitem / orders ------------------------------------------
     // replica r shifts the order key space by r·(max+1) on BOTH tables,
     // so l_orderkey ⊆ o_orderkey holds per replica and the SMJ/agg
@@ -198,5 +159,71 @@ object ScaleFixture {
     marker.getParentFile.mkdirs()
     marker.createNewFile()
     outDir
+  }
+
+  /** Embeddings-only fixture: same replica/twin construction as
+    * [[ensure]] but generating nothing else — the capped-regime ANN
+    * accuracy gate (r13) needs a corpus big enough that the shipped
+    * per-bucket/per-query caps BIND (~16k+ vectors), and generating the
+    * full relational fixture for one recall number would waste most of
+    * the Verify budget. Own marker, idempotent across rounds. */
+  def ensureEmbeddings(spark: SparkSession, baseDir: String, outDir: String,
+                       factor: Int): String = {
+    val marker = new java.io.File(s"$outDir/_GRAFT_EMB_v5_f$factor")
+    if (marker.exists()) return outDir
+    writeEmbeddings(spark, baseDir, outDir, factor)
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+    outDir
+  }
+
+  /** Replica-scaled embeddings write shared by [[ensure]] and
+    * [[ensureEmbeddings]]: replicas are fresh draws from the base
+    * fixture's per-(label, dim) moments (decorrelated, cluster
+    * structure preserved), plus ~3% planted twins per replica at
+    * cosine ≈ 0.9998 to their source (twin id = source id +
+    * factor·nVec). */
+  private def writeEmbeddings(spark: SparkSession, baseDir: String,
+                              outDir: String, factor: Int): Unit = {
+    val reps = broadcast(spark.range(factor).select(col("id").as("rep")))
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val nVec = emb.count()
+    val stats = emb
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("x")).as("m"), stddev_pop(col("x")).as("sd"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val labels = stats.keys.map(_._1).max + 1
+    val dims = stats.keys.map(_._2).max + 1
+    val meanLit = typedlit((0 until labels).map(l =>
+      (0 until dims).map(d => stats((l, d))._1)))
+    val sdLit = typedlit((0 until labels).map(l =>
+      (0 until dims).map(d => stats((l, d))._2)))
+    // uniform(-√3σ, √3σ) has variance σ² — same second moment as the
+    // base clusters, which is what the SRP/IVF geometry keys off
+    def u(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(seed, lit(2000001L)).cast("double") / 1000000.0 - 1.0
+    val base = emb.crossJoin(reps)
+      .select(
+        (col("vec_id") + col("rep") * nVec).as("vec_id"),
+        when(col("rep") === 0, col("embedding").cast("array<double>"))
+          .otherwise(transform(sequence(lit(0), lit(dims - 1)), i =>
+            element_at(element_at(meanLit, col("label") + 1), i + 1) +
+              u(xxhash64(col("vec_id"), col("rep"), i)) * lit(math.sqrt(3.0)) *
+              element_at(element_at(sdLit, col("label") + 1), i + 1)))
+          .as("embedding"),
+        col("label"))
+    val twins = base.filter(col("vec_id") >= nVec &&
+        pmod(xxhash64(col("vec_id")), lit(33)) === 0)
+      .select((col("vec_id") + lit(factor.toLong) * nVec).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + u(xxhash64(col("vec_id"), i, lit(7))) * 0.01).as("embedding"),
+        col("label"))
+    base.union(twins)
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 }
