@@ -100,7 +100,7 @@ object Bench {
     "q_pagerank", "q_kmeans", "q_bm25", "q_lm_surprisal",
     "q1_agg", "q_sort_global", "q_window_running", "q_join_smj",
     "q_topk_group", "q_cube", "q_star_join",
-    "q_gap_fill_keyed", "q_events_session")
+    "q_gap_fill_keyed", "q_events_session", "q_events_pipeline")
 
   /** The five most expensive scale-family members get a THIRD point
     * (factor ~30): two points cannot separate exponent 1.0 from 1.3
