@@ -63,13 +63,32 @@ object Accuracy {
     // fixture (ScaleFixture construction, decorrelated replicas +
     // planted twins), then the same hash-sampled top-5-vs-brute recall
     // the bench records — now driver-gated every round at ≥ 0.85.
-    val nVec = e.count()
-    val factor = math.max(2, math.ceil(20000.0 / math.max(1L, nVec)).toInt)
-    val accEmbDir = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo") +
-      "/target/scale/acc_emb"
-    val recallCapped = {
-      val dir = ScaleFixture.ensureEmbeddings(spark, d, accEmbDir, factor)
-      Bench.boundedAnnRecallSf1(spark, dir).getOrElse(-1.0)
+    // the whole capped-regime block degrades to a single failing row
+    // (-1.0) on any fixture-generation error — it must never abort the
+    // artifact and take the other eight gates with it (review r13)
+    val recallCapped = try {
+      val nVec = e.count()
+      if (nVec >= 20000L)
+        // the caps already bind on the base corpus — measure there
+        // directly instead of paying a pointless 2× replica fixture +
+        // doubled brute-force pass
+        Bench.boundedAnnRecallSf1(spark, d).getOrElse(-1.0)
+      else {
+        val factor = math.max(2, math.ceil(20000.0 / math.max(1L, nVec)).toInt)
+        // dir is keyed by (base fixture, factor): acc_emb markers from a
+        // different base dir or factor must never serve their corpus to
+        // this gate (review r13 — the shared-dir marker was stale-prone)
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$d|$factor".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        val accEmbDir = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo") +
+          s"/target/scale/acc_emb_$tag"
+        val dir = ScaleFixture.ensureEmbeddings(spark, d, accEmbDir, factor)
+        Bench.boundedAnnRecallSf1(spark, dir).getOrElse(-1.0)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[accuracy] capped-regime fixture/recall failed: $e")
+      -1.0
     }
 
     // q_approx_distinct: HLL++ (rsd=0.02) vs exact distinct counts

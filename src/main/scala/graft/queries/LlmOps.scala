@@ -27,6 +27,47 @@ object LlmOps {
   private val CHUNK_SIZE = 32
   private val CHUNK_STRIDE = 24
 
+  /** The composed pipelines' shared prologue (q_pipeline_full /
+    * q_pipeline_report — review r13: the ~25-line stage lived in two
+    * verbatim copies, so a minhash/tiebreak/threshold tune could
+    * silently diverge the two published artifacts): minhash pair table
+    * checkpointed once → connected components → per-doc assignment
+    * (cluster, full-corpus size, longest-copy representative,
+    * md5-by-cluster leakage-safe split) checkpointed once. Returns
+    * (docs, assigned). q_dedup_pipeline deliberately keeps its own
+    * standalone copy — its per-query isolation (no shared checkpoints
+    * with the full pipeline) is the point of having both registered. */
+  private def pipelineAssignment(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.9)
+      .localCheckpoint()
+    val cc = graft.dedup.Clusters
+      .connectedComponents(pairs, "doc_a", "doc_b")
+    val labeled = docs.select(col("doc_id"), col("n_chars"))
+      .join(cc.select(col("id").as("doc_id"), col("comp")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+      .select(col("doc_id"), col("n_chars"), col("cluster_id"))
+      .localCheckpoint()
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val h = substring(
+      md5(concat(col("cluster_id").cast("string"), lit("split1"))), 1, 2)
+    val assigned = labeled
+      .withColumn("keep", row_number().over(w) === 1)
+      .join(sizes, "cluster_id")
+      .withColumn("split",
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("keep"), col("split"))
+      .localCheckpoint()
+    (docs, assigned)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d))),
@@ -968,32 +1009,7 @@ object LlmOps {
     // cluster size, representative flag, split, contaminated flag
     // (always false for train docs: they ARE the reference set).
     "q_pipeline_full" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
-        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.9)
-        .localCheckpoint()
-      val cc = graft.dedup.Clusters
-        .connectedComponents(pairs, "doc_a", "doc_b")
-      val labeled = docs.select(col("doc_id"), col("n_chars"))
-        .join(cc.select(col("id").as("doc_id"), col("comp")),
-          Seq("doc_id"), "left")
-        .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
-        .select(col("doc_id"), col("n_chars"), col("cluster_id"))
-        .localCheckpoint()
-      val sizes = labeled.groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("cluster_size"))
-      val w = Window.partitionBy(col("cluster_id"))
-        .orderBy(col("n_chars").desc, col("doc_id").asc)
-      val h = substring(
-        md5(concat(col("cluster_id").cast("string"), lit("split1"))), 1, 2)
-      val assigned = labeled
-        .withColumn("keep", row_number().over(w) === 1)
-        .join(sizes, "cluster_id")
-        .withColumn("split",
-          when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
-        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-          col("keep"), col("split"))
-        .localCheckpoint()
+      val (docs, assigned) = pipelineAssignment(s, d)
       // ONE split-keyed gram table for both sides of the gate (r12
       // VERDICT note 3): the 5-gram explode runs once, crosses one
       // g-keyed exchange, and is MATERIALIZED there — per-consumer
@@ -1047,31 +1063,7 @@ object LlmOps {
     // q_pipeline_full's per-doc flags, and asserts the gram stage runs
     // once (a single WordShingles subtree feeding a reused exchange).
     "q_pipeline_report" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
-        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.9)
-        .localCheckpoint()
-      val cc = graft.dedup.Clusters
-        .connectedComponents(pairs, "doc_a", "doc_b")
-      val labeled = docs.select(col("doc_id"), col("n_chars"))
-        .join(cc.select(col("id").as("doc_id"), col("comp")),
-          Seq("doc_id"), "left")
-        .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
-        .select(col("doc_id"), col("n_chars"), col("cluster_id"))
-        .localCheckpoint()
-      val sizes = labeled.groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("cluster_size"))
-      val w = Window.partitionBy(col("cluster_id"))
-        .orderBy(col("n_chars").desc, col("doc_id").asc)
-      val h = substring(
-        md5(concat(col("cluster_id").cast("string"), lit("split1"))), 1, 2)
-      val assigned = labeled
-        .withColumn("keep", row_number().over(w) === 1)
-        .join(sizes, "cluster_id")
-        .withColumn("split",
-          when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
-        .select(col("doc_id"), col("keep"), col("split"))
-        .localCheckpoint()
+      val (docs, assigned) = pipelineAssignment(s, d)
       // the one gram table: FULL corpus (the overlap census needs every
       // doc, dropped copies included), carrying the consumer keys
       // (split, keep, source) so each of the THREE gram consumers is a
