@@ -75,19 +75,30 @@ object Accuracy {
         Bench.boundedAnnRecallSf1(spark, d).getOrElse(-1.0)
       else {
         val factor = math.max(2, math.ceil(20000.0 / math.max(1L, nVec)).toInt)
-        // dir is keyed by (base fixture, factor): acc_emb markers from a
-        // different base dir or factor must never serve their corpus to
-        // this gate (review r13 — the shared-dir marker was stale-prone)
+        // dir is keyed by (base fixture, factor, base CONTENT signal):
+        // acc_emb markers from a different base dir, factor, or a
+        // regenerated-in-place base must never serve their stale corpus
+        // to this gate (review r13 + ADVICE r13 — path|factor alone
+        // could not see an in-place regeneration)
+        val base = new java.io.File(s"$d/embeddings.parquet")
+        val contentSig =
+          if (base.isDirectory)
+            base.listFiles().filter(_.isFile).sortBy(_.getName)
+              .map(f => s"${f.getName}=${f.length}@${f.lastModified}")
+              .mkString(",")
+          else s"${base.length}@${base.lastModified}"
         val tag = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$d|$factor".getBytes("UTF-8"))
+          .digest(s"$d|$factor|$contentSig".getBytes("UTF-8"))
           .take(4).map("%02x".format(_)).mkString
         val accEmbDir = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo") +
           s"/target/scale/acc_emb_$tag"
         val dir = ScaleFixture.ensureEmbeddings(spark, d, accEmbDir, factor)
         Bench.boundedAnnRecallSf1(spark, dir).getOrElse(-1.0)
       }
-    } catch { case e: Throwable =>
-      System.err.println(s"[accuracy] capped-regime fixture/recall failed: $e")
+    } catch { case scala.util.control.NonFatal(ex) =>
+      // NonFatal only (ADVICE r13): an OOM/interrupt must kill the JVM,
+      // not masquerade as a -1.0 gate row
+      System.err.println(s"[accuracy] capped-regime fixture/recall failed: $ex")
       -1.0
     }
 

@@ -29,9 +29,63 @@ class BroadcastBudgetSpec extends AnyFunSuite {
     "Relational.scala" -> 6, // TPC-H dims (star-join contract)
     "Shape.scala" -> 1) // event-type dim
 
-  private def stripComments(t: String): String = {
-    val noBlocks = """(?s)/\*.*?\*/""".r.replaceAllIn(t, "")
-    """//[^\n]*""".r.replaceAllIn(noBlocks, "")
+  /** Count `broadcast(` call sites in CODE only — a char-level scanner
+    * tracking comment AND string/char-literal state (ADVICE r13: regex
+    * comment-stripping treated `//` inside a string literal like
+    * "s3://x" as a comment start and silently under-counted the rest of
+    * the line, defeating the audit). */
+  private[graft] def countBroadcastSites(t: String): Int = {
+    val needle = "broadcast("
+    var i = 0
+    var n = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (t.startsWith("//", i)) { // line comment
+        while (i < t.length && t.charAt(i) != '\n') i += 1
+      } else if (t.startsWith("/*", i)) { // block comment (non-nested)
+        i += 2
+        while (i < t.length && !t.startsWith("*/", i)) i += 1
+        i = math.min(t.length, i + 2)
+      } else if (t.startsWith("\"\"\"", i)) { // triple-quoted string
+        i += 3
+        while (i < t.length && !t.startsWith("\"\"\"", i)) i += 1
+        i = math.min(t.length, i + 3)
+      } else if (c == '"') { // plain string literal
+        i += 1
+        while (i < t.length && t.charAt(i) != '"') {
+          if (t.charAt(i) == '\\') i += 1
+          i += 1
+        }
+        i += 1
+      } else if (c == '\'' &&
+          (t.regionMatches(i + 2, "'", 0, 1) ||
+           (t.regionMatches(i + 1, "\\", 0, 1) &&
+            t.regionMatches(i + 3, "'", 0, 1)))) {
+        // char literal ('x' or '\n'); an unclosed quote (a legacy
+        // Symbol) falls through and scans as plain code
+        i += (if (t.charAt(i + 1) == '\\') 4 else 3)
+      } else if (t.startsWith(needle, i)) {
+        n += 1
+        i += needle.length
+      } else i += 1
+    }
+    n
+  }
+
+  test("scanner: literals and comments never hide or fake a call site") {
+    assert(countBroadcastSites("""val u = "s3://x"; broadcast(dim)""") == 1,
+      "a // inside a string must not eat the rest of the line")
+    assert(countBroadcastSites("""val u = "a/*b"; broadcast(dim)""") == 1,
+      "a /* inside a string must not open a comment")
+    assert(countBroadcastSites("// broadcast(dim)") == 0)
+    assert(countBroadcastSites("/* broadcast(dim) */ val x = 1") == 0)
+    assert(countBroadcastSites("val s = \"broadcast(\"; broadcast(d)") == 1,
+      "the needle inside a string is not a call site")
+    assert(countBroadcastSites("val c = '\"'; broadcast(d)") == 1,
+      "a char-literal quote must not open a string")
+    assert(countBroadcastSites("\"\"\"x // broadcast( y\"\"\"") == 0,
+      "triple-quoted string contents are not code")
+    assert(countBroadcastSites("broadcast(a).join(broadcast(b))") == 2)
   }
 
   test("every forced-broadcast call site is budgeted in README's table") {
@@ -47,9 +101,8 @@ class BroadcastBudgetSpec extends AnyFunSuite {
     val found = scala.collection.mutable.Map[String, Int]()
     java.nio.file.Files.walk(srcRoot).forEach { p =>
       if (p.toString.endsWith(".scala")) {
-        val text = stripComments(new String(
+        val n = countBroadcastSites(new String(
           java.nio.file.Files.readAllBytes(p), "UTF-8"))
-        val n = """broadcast\(""".r.findAllIn(text).size
         if (n > 0) found(p.getFileName.toString) = n
       }
     }

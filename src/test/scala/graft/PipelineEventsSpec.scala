@@ -79,10 +79,14 @@ class PipelineEventsSpec extends SparkSuite {
       s"events must not be re-scanned per consumer:\n$p")
     // every surviving exchange moves session/user-grain rows (the
     // per-user rollup and the week distinct); events themselves cross
-    // exactly the one shuffle inside the checkpointed stage
-    val exchanges = "exchange".r.findAllIn(p).size
+    // exactly the one shuffle inside the checkpointed stage. Count only
+    // SHUFFLE exchange operator lines — a raw "exchange" substring tally
+    // also matched ReusedExchange/AQE wrapper nodes and would break on
+    // plan-rendering drift (ADVICE r13)
+    val exchanges = """(?m)^[\s:+*-]*exchange (hash|range|single)"""
+      .r.findAllIn(p).size
     assert(exchanges <= 4,
       s"consumers must aggregate the session table, not re-shuffle " +
-        s"events ($exchanges exchanges):\n$p")
+        s"events ($exchanges shuffle exchanges):\n$p")
   }
 }
