@@ -34,6 +34,15 @@ object Accuracy {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfRecall = (brute & ivf).size.toDouble / brute.size
 
+    // q_ann_persisted: the SAME IVF geometry served from the persisted
+    // standing index (r13 VERDICT item 1) — recall vs brute gates that
+    // the build-once/serve-many path retrieves what the transient path
+    // retrieves (the serve plan itself is pinned by StandingIndexSpec)
+    val pers = SparkEntry.queries("q_ann_persisted")(spark, d)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val persRecall = (brute & pers).size.toDouble / brute.size
+
     // q_ann_lsh_big: the BOUNDED all-shuffled (no-broadcast) LSH path on
     // a LARGE query set — what the registry runs; same banding as
     // lshTopK plus the per-bucket/per-query caps (which do not bind at
@@ -176,6 +185,8 @@ object Accuracy {
         recall >= 0.85),
       Check("q_ann_ivf", "topk_recall_vs_brute_force", ivfRecall, 0.85,
         ivfRecall >= 0.85),
+      Check("q_ann_persisted", "topk_recall_vs_brute_force", persRecall,
+        0.85, persRecall >= 0.85),
       Check("q_ann_lsh_big", "topk_recall_vs_brute_force", recallBig, 0.85,
         recallBig >= 0.85),
       Check("q_ann_lsh_big_capped", "topk_recall_vs_brute_caps_binding",

@@ -96,6 +96,7 @@ object Bench {
     "q_ann_lsh_big", "q_triangles", "q_label_prop", "q_fuzzy_join",
     "q_dedup_semantic", "q_dup_clusters", "q_dedup_keep_best",
     "q_dedup_pipeline", "q_pipeline_full", "q_pipeline_report",
+    "q_dedup_incremental_near", "q_ann_persisted",
     "q_dedup_minhash", "q_dedup_embed", "q_span_dedup",
     "q_pagerank", "q_kmeans", "q_bm25", "q_lm_surprisal",
     "q1_agg", "q_sort_global", "q_window_running", "q_join_smj",
@@ -1057,6 +1058,11 @@ object Bench {
            |  },
            |  "skew_fixture": {
            |$sk
+           |  },
+           |  "standing_index": {
+           |    "builds_sec": {${graft.sources.StandingIndex.buildLog.toSeq.sortBy(_._1)
+                  .map { case (k, v) => s""""$k": ${f3(v)}""" }.mkString(", ")}},
+           |    "note": "wall seconds to BUILD each persisted standing index this run (key = kind@content-tag; neardup = bucketed minhash bands/members/shingles, ivf = centroids + cell-partitioned assignments). The per-query suite/scale timings for q_dedup_incremental_near and q_ann_persisted are SERVE-ONLY from run 2 on (run 1 pays the build once per fixture dir; min-of-N therefore reports the amortized serve cost a build-once/serve-many deployment sees). An empty map means every index was already on disk from a previous run"
            |  },
            |  "ann_bounded_sf1": {
            |    "recall_vs_brute_sampled": ${annRecall._1.map(r => f"$r%.3f").getOrElse("null")},

@@ -722,6 +722,25 @@ object LlmOps {
     // every-ingest-cycle op of a training-data pipeline. One hash
     // exchange on the 16-byte fingerprint (never the text); within-batch
     // duplicates are q_dedup_exact's job, this is batch-vs-corpus.
+    // ---- PERSISTED STANDING INDEX (VERDICT r13 item 1): build once,
+    // serve many — the reference's own MOF+offset-index architecture
+    // (src/MOFServer/IndexInfo.h:98-104). The near-dup index (bucketed
+    // minhash bands / members / shingle sets) is built on first use and
+    // every subsequent serve joins the NEW batch against it with zero
+    // corpus re-shingling/re-signing (plan-asserted in
+    // StandingIndexSpec); exact-Jaccard verification keeps the output
+    // equal to the all-pairs oracle (the q_dedup_minhash argument).
+    "q_dedup_incremental_near" -> ((s, d) =>
+      graft.sources.StandingIndex.nearDupIncrement(s, d)),
+
+    // IVF serve from the persisted index: centroids parquet + cell-
+    // partitioned assignments; a query probes nProbe cells and the scan
+    // PRUNES to those directories (PartitionFilters) — recall-gated in
+    // ACCURACY like the transient IVF path (float centroids are layout-
+    // sensitive at build; the persisted serve is deterministic).
+    "q_ann_persisted" -> ((s, d) =>
+      graft.sources.StandingIndex.annServe(s, d)),
+
     "q_dedup_incremental" -> ((s, d) => {
       val fp = Tables.documents(s, d)
         .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
@@ -1185,6 +1204,23 @@ object LlmOps {
 
     "q_dedup_minhash" -> jaccardOracle(0.9),
     "q_ngram_jaccard" -> jaccardOracle(0.8),
+
+    // exact batch(doc_id%5=0) × standing-corpus(doc_id%5≠0) Jaccard —
+    // the persisted-index serve must reproduce the all-pairs answer
+    // restricted to cross-split pairs (same LSH+exact-verify recall
+    // argument as q_dedup_minhash)
+    "q_dedup_incremental_near" ->
+      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |         LIST_DISTINCT([ARRAY_TO_STRING(ts[i:i+2], ' ') FOR i IN RANGE(1, LEN(ts)-1)]) AS s
+        |       FROM d WHERE LEN(ts) >= 3)
+        |SELECT b.doc_id AS doc_id, a.doc_id AS dup_id,
+        |  ROUND(LEN(LIST_INTERSECT(b.s, a.s))
+        |    / (LEN(b.s) + LEN(a.s) - LEN(LIST_INTERSECT(b.s, a.s))), 3) AS jaccard
+        |FROM sh b JOIN sh a
+        |  ON b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
+        |WHERE LEN(LIST_INTERSECT(b.s, a.s))
+        |    / (LEN(b.s) + LEN(a.s) - LEN(LIST_INTERSECT(b.s, a.s))) >= 0.9""".stripMargin,
 
     // Full signature replay: SimHash64's token hash is DuckDB's
     // md5_number_lower by construction (MD5 digest bytes 8..15
