@@ -1038,16 +1038,24 @@ object LlmOps {
       // localCheckpoint preserves the hash(g) partitioning, so the
       // distinct-by-g and the left-semi downstream need NO further
       // exchange. Dropped train docs never shingle (they are neither
-      // reference set nor probe). At cluster scale the gram column
-      // would be a 64-bit rolling hash instead of the gram text (the
-      // q_span_dedup note): same shape, 8× narrower materialization.
+      // reference set nor probe). The materialized gram is the 64-bit
+      // xxhash64 of the gram TEXT (r13 VERDICT item 5): the gate only
+      // ever tests gram EQUALITY, so an 8-byte key carries the same
+      // information as the ~40-byte text through the exchange, the
+      // checkpoint, and the distinct's hash maps — an ~8× narrower
+      // materialization at cluster scale. A 2⁻⁶⁴-per-pair hash merge is
+      // the accepted error class (the minhash gk argument); the oracle
+      // still replays TEXT grams, so the driver compare is itself the
+      // hashed-vs-text differential.
       val gramTbl = assigned
         .filter(col("split") =!= "train" || col("keep"))
         .select(col("doc_id"), col("split"), col("keep"))
         .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
         .select(col("doc_id"), col("split"), col("keep"),
           explode(graft.expressions.TextExpressions
-            .wordShingles(col("text"), 5)).as("g"))
+            .wordShingles(col("text"), 5)).as("gtxt"))
+        .select(col("doc_id"), col("split"), col("keep"),
+          xxhash64(col("gtxt")).as("g"))
         .repartition(col("g"))
         .localCheckpoint()
       val trainGrams = gramTbl
@@ -1087,13 +1095,17 @@ object LlmOps {
       // doc, dropped copies included), carrying the consumer keys
       // (split, keep, source) so each of the THREE gram consumers is a
       // filter over one hash(g)-partitioned materialization, never a
-      // re-shingle (see q_pipeline_full's checkpoint note)
+      // re-shingle; grams ride as 64-bit hashes, not text (see
+      // q_pipeline_full's checkpoint note — all three consumers test
+      // equality only, and the overlap census counts distinct keys)
       val gramTbl = assigned
         .join(docs.select(col("doc_id"), col("source"), col("text")),
           Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("split"), col("keep"),
           explode(graft.expressions.TextExpressions
-            .wordShingles(col("text"), 5)).as("g"))
+            .wordShingles(col("text"), 5)).as("gtxt"))
+        .select(col("doc_id"), col("source"), col("split"), col("keep"),
+          xxhash64(col("gtxt")).as("g"))
         .repartition(col("g"))
         .localCheckpoint()
       val trainGrams = gramTbl

@@ -53,6 +53,27 @@ class PipelineReportSpec extends SparkSuite {
       s"shipped-doc counts diverge: $composed vs $expected")
   }
 
+  // r14: the materialized gram column is xxhash64(gram text) — 8 bytes
+  // through the exchange/checkpoint instead of ~40 of text. All three
+  // consumers test equality only, so the swap is invisible except for
+  // 2⁻⁶⁴-per-pair hash merges; this differential witnesses collision
+  // freedom on the fixture directly (the DuckDB oracle replays TEXT
+  // grams, so the driver compare re-proves it at sf0.01 every round).
+  test("hashed grams are collision-free vs text grams on the fixture") {
+    import org.apache.spark.sql.functions._
+    val grams = Tables.documents(spark, sfDir)
+      .select(explode(graft.expressions.TextExpressions
+        .wordShingles(col("text"), 5)).as("gtxt"))
+    val counts = grams
+      .agg(countDistinct(col("gtxt")).as("n_text"),
+        countDistinct(xxhash64(col("gtxt"))).as("n_hash"))
+      .head()
+    assert(counts.getLong(0) == counts.getLong(1),
+      s"xxhash64 collided on the fixture gram set: " +
+        s"${counts.getLong(0)} text vs ${counts.getLong(1)} hashed")
+    assert(counts.getLong(0) > 0, "probe broken: no grams on the fixture")
+  }
+
   // The gram table is materialized ONCE at its g-keyed exchange
   // (repartition + localCheckpoint): per-consumer filter pushdown would
   // otherwise specialize the exchange subtree per branch and defeat
