@@ -78,6 +78,77 @@ object Bench {
       Map.empty
     }
 
+  /** Streaming performance record (r13 VERDICT item 4): graft.streaming
+    * had correctness parity only (MemoryStream specs) — no throughput or
+    * state-size number anywhere in the round record. This measures the
+    * three stateful paths a production stream runs — session-window
+    * aggregation, watermarked exact dedup, and the foreachBatch
+    * upsert-sink MERGE — as bounded micro-batch runs over the events
+    * fixture (re-laid as 8 files, maxFilesPerTrigger=2 → 4 real
+    * micro-batches; Trigger.AvailableNow drains and stops). Per path:
+    * rows/s end-to-end, batch count, and the final progress's state
+    * rows + memory (the watermark-bounded footprint that makes an
+    * unbounded stream viable). Returns the JSON object body for the
+    * artifact's `streaming` section. */
+  private[graft] def streamingMetrics(spark: SparkSession, dir: String,
+                                      tag: String): Option[String] = try {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo") +
+      s"/target/streambench/$tag"
+    val inDir = s"$root/input"
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("ts_ns"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    def src: DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+    def measure(name: String,
+                start: (DataFrame, String) => org.apache.spark.sql
+                  .streaming.StreamingQuery): String = {
+      val ckpt = s"$root/ckpt_$name"
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+      val t0 = System.nanoTime()
+      val q = start(src, ckpt)
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      val rows = progs.map(_.numInputRows).sum
+      val state = progs.lastOption.toSeq
+        .flatMap(_.stateOperators.toSeq)
+      val stateRows = if (state.isEmpty) -1L else state.map(_.numRowsTotal).sum
+      val stateMb = if (state.isEmpty) -1.0
+        else state.map(_.memoryUsedBytes).sum / 1e6
+      f""""$name": {"rows": $rows, "wall_sec": $wall%.3f, """ +
+        f""""rows_per_sec": ${if (wall > 0) rows / wall else 0.0}%.0f, """ +
+        s""""n_batches": ${progs.length}, "state_rows": $stateRows, """ +
+        f""""state_mb": $stateMb%.3f}"""
+    }
+    val sess = measure("sessionize", (s, ckpt) =>
+      graft.streaming.EventsStreaming.sessionCounts(s)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start())
+    val dedup = measure("dedup", (s, ckpt) =>
+      graft.streaming.EventsStreaming.dedupedEvents(s)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start())
+    val target = s"$root/upsert_target"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(target))
+    val upsert = measure("upsert_sink", (s, ckpt) =>
+      graft.streaming.EventsStreaming.toUpsertSink(
+        s, target, ckpt, keys = Seq("event_id"), orderCol = "ts_ns",
+        nBuckets = 16, trigger = Some(Trigger.AvailableNow())))
+    Some(s"$sess, $dedup, $upsert")
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] streaming metrics failed ($tag): $e")
+    None
+  }
+
   /** The dedup/ANN family plus the relational headline (sort / agg /
     * SMJ / window) Bench times at TWO scale points (sf0.1 and the
     * [[ScaleFixture]] synthetic sf1) to expose the scaling exponent
@@ -124,7 +195,9 @@ object Bench {
     * fields remain in the artifact as the work-accounting record. */
   case class RunMeasure(wall: Double, cpu: Double, taskCpu: Double,
                         canaryMops: Double = -1.0,
-                        frozenFrac: Double = -1.0) {
+                        frozenFrac: Double = -1.0,
+                        healedFromWall: Double = -1.0,
+                        healedFromFrac: Double = -1.0) {
     /** Canary rate relative to the session's best-observed rate —
       * the stall discriminator that survives hypervisor-level CPU
       * accounting lies (see [[Canary]]). ~1.0 on a healthy host.
@@ -658,6 +731,18 @@ object Bench {
     // a leg (or retry) only starts when at least this much budget is
     // left — a started run can still use up to the per-run cap
     val MinStartBudgetSec = 60.0
+    // IDLE canary watermark (shared by fragile-leg deferral and leg
+    // self-healing): between legs our own executors are quiescent, so a
+    // depressed spin rate measures exactly the external contention that
+    // poisons a measurement — mid-bench loadavg cannot (it is dominated
+    // by our own just-finished workers).
+    def idleCanaryFrac(sampleMs: Long = 2000L): Double = {
+      if (!Canary.isRunning || Canary.bestMops <= 0) return -1.0
+      val c0 = Canary.count; val t0 = System.nanoTime()
+      Thread.sleep(sampleMs)
+      val m = Canary.observe(Canary.count - c0, (System.nanoTime() - t0) / 1e9)
+      if (m < 0) -1.0 else m / Canary.bestMops
+    }
     def measure(label: String, mk: String => DataFrame, d: String,
                 cancelAfterSec: Option[Int], initialRuns: Int,
                 maxExtra: Int): (Option[RunMeasure], Int, Boolean) = {
@@ -694,28 +779,68 @@ object Bench {
           f"${ms.map(_.canaryFrac).max}%.3f) - extra run $extra")
         run(label, mk, d, cap).foreach(ms += _)
       }
-      // DEGRADED-leg retry (r11, three-band discipline at the class
-      // constants): a leg that completed but whose best run sits below
-      // the healthy-saturated canary band would be excluded from the
-      // headline exponent — worth one more attempt at a quieter window
-      // before accepting that
+      // SELF-HEALING degraded legs (r13 VERDICT item 2, generalizing
+      // the r11 single sub-0.5 retry): a leg whose best completed run
+      // sits below the CLEAN canary band (0.8) would flag the point
+      // `wall_degraded` in the artifact — the round-over-round cost has
+      // been hand-scheduled re-measures and prose companions. Before
+      // banking such a leg, re-measure it INSIDE the artifact run, but
+      // idle-canary SCHEDULED: sample the between-legs spin rate first
+      // (our executors are quiescent, so it reads exactly the external
+      // contention), wait one bounded window for a wave to pass if it
+      // is depressed, and only then spend a run — a blind retry would
+      // land straight back in the same wave (three of four r13 anchor
+      // attempts did). Bounded at 2 heal runs + 1 wait per leg; if the
+      // wave outlasts the budget the degraded number banks, flagged as
+      // before — healing adds quiet-window candidates, it never hides
+      // data (the displaced degraded wall is published in
+      // healed_from_* fields right on the point).
       def bestOf(runs: Seq[RunMeasure]): Option[RunMeasure] = {
         val clean = runs.filterNot(isSuspect)
         if (clean.nonEmpty) Some(clean.minBy(_.wall))
         else if (runs.nonEmpty) Some(runs.minBy(_.wall)) else None
       }
+      def bestIsDegraded: Option[RunMeasure] = bestOf(ms.toSeq)
+        .filter(m => m.canaryFrac >= 0 && m.canaryFrac < CanaryDegradedFrac)
+      val preHeal = bestIsDegraded
       var dExtra = 0
-      while (bestOf(ms.toSeq).exists(m => m.canaryFrac >= 0 &&
-               m.canaryFrac < CanaryExcludeFrac) && dExtra < 1 && budgetOk) {
-        dExtra += 1
-        System.err.println(f"[bench] scale $label: best completed run is " +
-          f"canary-degraded (frac ${bestOf(ms.toSeq).get.canaryFrac}%.3f < " +
-          f"$CanaryExcludeFrac) - one retry for a quieter window")
-        run(label, mk, d, cap).foreach(ms += _)
+      var waited = false
+      while (bestIsDegraded.isDefined && dExtra < 2 && budgetOk) {
+        var idle = idleCanaryFrac()
+        if (idle >= 0 && idle < CanaryDegradedFrac && !waited && budgetOk) {
+          // one bounded wait for the contention wave to pass
+          waited = true
+          System.err.println(f"[bench] scale $label: heal deferred - idle " +
+            f"canary $idle%.3f still depressed, waiting 20s")
+          Thread.sleep(20000L)
+          idle = idleCanaryFrac()
+        }
+        if (idle >= 0 && idle < CanaryDegradedFrac) {
+          System.err.println(f"[bench] scale $label: wave persists (idle " +
+            f"$idle%.3f) - banking the degraded leg, flagged")
+          dExtra = 2 // stop healing; the flag machinery takes over
+        } else {
+          dExtra += 1
+          System.err.println(f"[bench] scale $label: best completed run " +
+            f"is canary-degraded (frac " +
+            f"${bestIsDegraded.get.canaryFrac}%.3f < $CanaryDegradedFrac) " +
+            f"- heal run $dExtra at a quiet window (idle $idle%.3f)")
+          run(label, mk, d, cap).foreach(ms += _)
+        }
+      }
+      // provenance: if healing replaced a degraded best with a clean
+      // one, carry the displaced number on the banked measure
+      def withHealProvenance(m: RunMeasure): RunMeasure = preHeal match {
+        case Some(old) if m.canaryFrac >= CanaryDegradedFrac &&
+            (old.wall != m.wall || old.canaryFrac != m.canaryFrac) =>
+          m.copy(healedFromWall = old.wall, healedFromFrac = old.canaryFrac)
+        case _ => m
       }
       val clean = ms.filterNot(isSuspect)
-      if (clean.nonEmpty) (Some(clean.minBy(_.wall)), extra + dExtra, false)
-      else if (ms.nonEmpty) (Some(ms.minBy(_.wall)), extra + dExtra, true)
+      if (clean.nonEmpty)
+        (Some(withHealProvenance(clean.minBy(_.wall))), extra + dExtra, false)
+      else if (ms.nonEmpty)
+        (Some(withHealProvenance(ms.minBy(_.wall))), extra + dExtra, true)
       else (None, extra + dExtra, false)
     }
     val pts = scala.collection.mutable.Buffer[(String, ScalePoint)]()
@@ -723,16 +848,8 @@ object Bench {
     // (see [[FragileLegs]]): a fragile leg starting into an external-
     // contention window is deferred to the queue tail ONCE instead of
     // measured into a number the canary can only flag after the fact.
-    // The watermark is a short IDLE canary sample, not loadavg: between
-    // legs our own executors are quiescent, so a depressed spin rate
-    // measures exactly the external contention that poisons the leg.
-    def idleCanaryFrac(sampleMs: Long = 2000L): Double = {
-      if (!Canary.isRunning || Canary.bestMops <= 0) return -1.0
-      val c0 = Canary.count; val t0 = System.nanoTime()
-      Thread.sleep(sampleMs)
-      val m = Canary.observe(Canary.count - c0, (System.nanoTime() - t0) / 1e9)
-      if (m < 0) -1.0 else m / Canary.bestMops
-    }
+    // The watermark is the shared IDLE canary sample (see
+    // idleCanaryFrac above), not loadavg.
     val queue = scala.collection.mutable.Queue(entries: _*)
     val deferredOnce = scala.collection.mutable.Set[String]()
     try while (queue.nonEmpty) {
@@ -893,7 +1010,8 @@ object Bench {
       sfDir: String,
       suiteCpu: collection.Map[String, Double] = Map.empty,
       suiteCanary: collection.Map[String, Double] = Map.empty,
-      budgetSec: Int = -1): Unit = {
+      budgetSec: Int = -1,
+      streaming: Seq[(String, String)] = Seq.empty): Unit = {
     try {
       val repoDir = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo"))
@@ -938,7 +1056,12 @@ object Bench {
         // regime where wall AND cpu numbers are both inflated lies)
         val canary = if (m.canaryFrac >= 0)
           s""","${prefix}_canary_frac":${f"${m.canaryFrac}%.3f"}""" else ""
-        cpu + task + util + canary
+        // self-healed leg: the displaced degraded measurement stays
+        // published next to the clean one that replaced it
+        val healed = if (m.healedFromWall < 0) "" else
+          s""","${prefix}_healed_from_sec":${f3(m.healedFromWall)}""" +
+            s""","${prefix}_healed_from_frac":${f"${m.healedFromFrac}%.3f"}"""
+        cpu + task + util + canary + healed
       }
       val sc = scaleT.sortBy(_._1).map { case (k, p) =>
         val sf1 = p.sf1.map(m => f3(m.wall)).getOrElse("null")
@@ -1059,6 +1182,12 @@ object Bench {
            |  "skew_fixture": {
            |$sk
            |  },
+           |  "streaming": {
+           |${streaming.map { case (label, body) =>
+                s"""    "$label": {$body}""" }.mkString(",\n")}${
+                if (streaming.isEmpty) "" else ","}
+           |    "note": "micro-batch rate + state-size record (r13 VERDICT item 4) for the three stateful streaming paths, measured over the events fixture re-laid as 8 files with maxFilesPerTrigger=2 (real multi-batch incrementalization, Trigger.AvailableNow drains then stops). rows_per_sec is end-to-end (includes source listing + sink commit per batch); state_rows/state_mb are the LAST batch's stateOperators totals - the watermark-bounded footprint (session windows + dedup keys are evicted as the watermark passes, which is what keeps an unbounded stream's state finite); upsert_sink has no state operator (state_rows -1) - its number is the foreachBatch MERGE throughput into the bucketed parquet target including the bucket-swap commit protocol"
+           |  },
            |  "standing_index": {
            |    "builds_sec": {${graft.sources.StandingIndex.buildLog.toSeq.sortBy(_._1)
                   .map { case (k, v) => s""""$k": ${f3(v)}""" }.mkString(", ")}},
@@ -1073,7 +1202,7 @@ object Bench {
            |    "factor": $scaleFactor,
            |    "factor3": $scaleFactor3,
            |    "canary_best_mops": ${f"${Canary.bestMops}%.1f"},
-           |    "note": "exponent = log(t_sf1/t_sf0.1)/log(factor) on WALL seconds; exponent_3pt = least-squares log-log fit over all measured wall points (the heavy five get a third point at factor3); exponent_cpu = the same fit on CPU seconds. STALL ADJUDICATION: round 9 established (jstack + /proc sampling of a '3100 CPU-s' stage) that the sandbox is a VM whose hypervisor periodically oversubscribes the host, and during those windows GUEST CPU ACCOUNTING LIES - descheduled vCPU time is billed to the running thread, so wall, process-CPU and task-CPU inflate together (identical code measured 2 s and 98 s with 'busy' CPU both times). The canary is the stall-proof instrument: a spin thread whose ops/s rate cannot be faked by the hypervisor; canary_frac = run rate / session best. frac ~1.0 = trustworthy point; frac < 0.3 = the host starved this VM (healthy saturated runs measure 0.52+; documented stalls < 0.2) and the point's wall AND cpu numbers are inflated. Runs are min-of-N with canary-suspect runs re-run up to 2 extra times; a point whose every run is suspect is recorded stall_suspect:true. THREE-BAND LEG ADMISSION (r11): a completed leg whose chosen run's canary_frac < $CanaryExcludeFrac gets one quieter-window retry and, if still degraded, is EXCLUDED from exponent/exponent_3pt/exponent_cpu (raw seconds stay; exponent_unfiltered carries the all-legs fit, clearly labeled); any leg with frac < $CanaryDegradedFrac is named in degraded_legs next to the exponent - so no headline exponent is ever computed from a sub-0.8-canary point without a flag. The exclusion bar sits at $CanaryExcludeFrac, not $CanaryDegradedFrac, because healthy runs that saturate all 32 cores legitimately push the canary to 0.52-0.7 (our own workers steal its fair share) while documented hypervisor stalls measure < 0.2. A completed run averaging < $StallActiveCoresThreshold busy cores over > ${StallMinWallSec.toInt}s wall is also suspect (total starvation). Fixture is ScaleFixture's replica-salted scale-up (per-replica dup structure preserved, cross-replica decorrelated, block-key cardinality scales with data); load_avg_1m is the max 1-min load observed across the point's runs; load_flagged means the AMBIENT load at bench start exceeded ${LoadFlagThreshold.toInt} - and a cancel on such a host is retried once before being recorded",
+           |    "note": "exponent = log(t_sf1/t_sf0.1)/log(factor) on WALL seconds; exponent_3pt = least-squares log-log fit over all measured wall points (the heavy five get a third point at factor3); exponent_cpu = the same fit on CPU seconds. STALL ADJUDICATION: round 9 established (jstack + /proc sampling of a '3100 CPU-s' stage) that the sandbox is a VM whose hypervisor periodically oversubscribes the host, and during those windows GUEST CPU ACCOUNTING LIES - descheduled vCPU time is billed to the running thread, so wall, process-CPU and task-CPU inflate together (identical code measured 2 s and 98 s with 'busy' CPU both times). The canary is the stall-proof instrument: a spin thread whose ops/s rate cannot be faked by the hypervisor; canary_frac = run rate / session best. frac ~1.0 = trustworthy point; frac < 0.3 = the host starved this VM (healthy saturated runs measure 0.52+; documented stalls < 0.2) and the point's wall AND cpu numbers are inflated. Runs are min-of-N with canary-suspect runs re-run up to 2 extra times; a point whose every run is suspect is recorded stall_suspect:true. THREE-BAND LEG ADMISSION (r11): a completed leg whose chosen run's canary_frac < $CanaryExcludeFrac gets one quieter-window retry and, if still degraded, is EXCLUDED from exponent/exponent_3pt/exponent_cpu (raw seconds stay; exponent_unfiltered carries the all-legs fit, clearly labeled); any leg with frac < $CanaryDegradedFrac is named in degraded_legs next to the exponent - so no headline exponent is ever computed from a sub-0.8-canary point without a flag. The exclusion bar sits at $CanaryExcludeFrac, not $CanaryDegradedFrac, because healthy runs that saturate all 32 cores legitimately push the canary to 0.52-0.7 (our own workers steal its fair share) while documented hypervisor stalls measure < 0.2. SELF-HEALING (r14): a leg whose best completed run is canary-degraded (< $CanaryDegradedFrac) is automatically re-measured BEFORE the artifact banks it, idle-canary scheduled - the between-legs spin rate is sampled first and one bounded 20s wait lets a contention wave pass, so heal runs land in quiet windows instead of back inside the wave; bounded at 2 heal runs per leg, and when healing replaced the number the displaced degraded wall stays published in <leg>_healed_from_sec/_frac next to the clean one. A completed run averaging < $StallActiveCoresThreshold busy cores over > ${StallMinWallSec.toInt}s wall is also suspect (total starvation). Fixture is ScaleFixture's replica-salted scale-up (per-replica dup structure preserved, cross-replica decorrelated, block-key cardinality scales with data); load_avg_1m is the max 1-min load observed across the point's runs; load_flagged means the AMBIENT load at bench start exceeded ${LoadFlagThreshold.toInt} - and a cancel on such a host is retried once before being recorded",
            |    "queries": {
            |$sc
            |    }
@@ -1284,10 +1413,27 @@ object Bench {
           (None, None)
         }
       else (None, None)
+    // streaming rate/state record at the suite sf and (budget
+    // permitting) the synthetic sf1 point — runs BEFORE the scale legs
+    // like the ANN recall (a round gate must not be starved by them),
+    // costs ~1 min total
+    val streamEnabled = sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "1"
+    def remainingBudgetSec: Double = (deadlineNanos - System.nanoTime()) / 1e9
+    val streaming: Seq[(String, String)] =
+      if (!streamEnabled) Seq.empty
+      else {
+        val base = streamingMetrics(spark, sfDir, sfDir.split('/').last)
+          .map(sfDir.split('/').last -> _).toSeq
+        val scaled =
+          if (scaleEnabled && remainingBudgetSec > 420)
+            streamingMetrics(spark, scaleDir, "sf1").map("sf1" -> _).toSeq
+          else Seq.empty
+        base ++ scaled
+      }
     def flush(pts: Seq[(String, ScalePoint)]): Unit =
       writeFullArtifact(timings, allRuns, rowCounts, errors, skew,
         (factorEnv, factor3Env, pts), annRecall, sfDir, suiteCpu,
-        suiteCanary, budgetSec)
+        suiteCanary, budgetSec, streaming)
     flush(Seq.empty)
     val scalePts =
       if (scaleEnabled)
@@ -1299,7 +1445,7 @@ object Bench {
         }
       else (factorEnv, factor3Env, Seq.empty[(String, ScalePoint)])
     writeFullArtifact(timings, allRuns, rowCounts, errors, skew, scalePts,
-      annRecall, sfDir, suiteCpu, suiteCanary, budgetSec)
+      annRecall, sfDir, suiteCpu, suiteCanary, budgetSec, streaming)
     quarantineIfWorse(artifactPath, prevSnapshot,
       repoDir.resolve(f"bench_quick_r${roundNumber(repoDir)}%02d.json"))
     // ---- clean shutdown so the metric line is the FINAL stdout line.

@@ -306,13 +306,19 @@ object EventsStreaming {
 
         val latest = {
           // latest row per key within the batch (a batch can carry
-          // several updates for one key; MERGE wants one)
+          // several updates for one key; MERGE wants one). Pinned
+          // (localCheckpoint) because TWO actions consume it — the
+          // bucket-list collect and the merge write — and an unpinned
+          // batch re-reads the micro-batch SOURCE once per action
+          // (measured: the bench's rate probe counted 2× numInputRows,
+          // i.e. doubled source IO per batch at stream scale).
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(keys.map(col): _*)
             .orderBy(col(orderCol).desc)
           batch.withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_rn")
             .withColumn("_kb", pmod(hash(keys.map(col): _*), lit(nBuckets)))
+            .localCheckpoint()
         }
         val buckets = latest.select(col("_kb")).distinct()
           .collect().map(_.getInt(0)).sorted
