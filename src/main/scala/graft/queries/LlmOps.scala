@@ -741,6 +741,41 @@ object LlmOps {
     "q_ann_persisted" -> ((s, d) =>
       graft.sources.StandingIndex.annServe(s, d)),
 
+    // URL/domain-grain dedup (r13 VERDICT stretch 7): the crawl-pipeline
+    // pass that runs BEFORE content dedup — canonicalize each doc's URL
+    // (strip scheme, leading www., query string, trailing slash; all
+    // map-side codegen'd regexp_replace, one pass) and collapse at HOST
+    // grain: per host, doc count, distinct canonical URLs, and the
+    // keep-representative (min doc_id). The fixture has no url column,
+    // so one is synthesized deterministically from (source, lang,
+    // doc_id) — with www./query/trailing-slash noise planted by doc_id
+    // residue classes — and the oracle replays the identical synthesis
+    // + canonicalization, so the collapse itself is what is compared.
+    // One partial+final aggregate; at 100 TB this is a single
+    // hash-shuffle on the host key, the minimum possible.
+    "q_url_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val url = concat(
+        lit("https://"),
+        when(col("doc_id") % 4 === 0, lit("www.")).otherwise(lit("")),
+        col("source"), lit(".example.org/"), col("lang"), lit("/p"),
+        (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=feed"))
+          .otherwise(lit("")))
+      val canon = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(lower(url),
+          "^https?://", ""), "^www\\.", ""), "\\?.*$", ""), "/$", "")
+      docs
+        .select(col("doc_id"), canon.as("url_canon"))
+        .select(col("doc_id"), col("url_canon"),
+          split(col("url_canon"), "/").getItem(0).as("host"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url_canon")).as("n_urls"),
+          min(col("doc_id")).as("keep_id"))
+    }),
+
     "q_dedup_incremental" -> ((s, d) => {
       val fp = Tables.documents(s, d)
         .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
@@ -1216,6 +1251,31 @@ object LlmOps {
 
     "q_dedup_minhash" -> jaccardOracle(0.9),
     "q_ngram_jaccard" -> jaccardOracle(0.8),
+
+    // identical url synthesis + canonicalization chain, replayed in SQL
+    "q_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CONCAT('https://',
+        |      CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END,
+        |      source, '.example.org/', lang, '/p',
+        |      CAST(doc_id % 50 AS VARCHAR),
+        |      CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,
+        |      CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END)
+        |      AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+        |      LOWER(url),
+        |      '^https?://', ''), '^www\.', ''), '\?.*$', ''), '/$', '')
+        |      AS url_canon
+        |  FROM u)
+        |SELECT SPLIT_PART(url_canon, '/', 1) AS host,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT url_canon) AS n_urls,
+        |  MIN(doc_id) AS keep_id
+        |FROM c GROUP BY 1""".stripMargin,
 
     // exact batch(doc_id%5=0) × standing-corpus(doc_id%5≠0) Jaccard —
     // the persisted-index serve must reproduce the all-pairs answer

