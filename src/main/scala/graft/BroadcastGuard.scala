@@ -82,15 +82,25 @@ object BroadcastGuard {
     * dim plan at DataFrame-CONSTRUCTION time (one localCheckpoint + one
     * sizing aggregate) — callers that only want to inspect the plan
     * still pay that once per session; the opt-out ceiling
-    * (≥ Long.MaxValue/2) skips all execution. */
+    * (≥ Long.MaxValue/2) skips all execution.
+    *
+    * `memoKey`: stable identity for the memo when the dim plan cannot
+    * canonicalize stably across invocations — a dim derived from a
+    * per-invocation localCheckpoint embeds a fresh LogicalRDD id each
+    * time (bm25's idf off the tf checkpoint, surprisal's unigrams off
+    * the bigram checkpoint), so the plan-keyed memo missed every run
+    * and re-paid the sizing pass. Callers pass a key that names the
+    * dim AND its source data (e.g. "bm25-idf|<dir>"); the same
+    * immutable-source contract as the plan key applies. */
   def dim(table: DataFrame, payloadBytesPerRow: Column,
-          label: String): DataFrame = {
+          label: String, memoKey: Option[String] = None): DataFrame = {
     val spark = table.sparkSession
     val ceiling = spark.conf
       .get(MaxBytesKey, DefaultMaxBytes.toString).toLong
     val effMax = ceiling / 2
     if (effMax >= Long.MaxValue / 4) return broadcast(table)
-    val key = (spark, table.queryExecution.analyzed.canonicalized,
+    val key = (spark,
+      memoKey.getOrElse(table.queryExecution.analyzed.canonicalized),
       payloadBytesPerRow.toString)
     // one materialization serves the sizing aggregate AND the join —
     // without it the guard would re-run the (possibly corpus-wide)

@@ -587,7 +587,8 @@ object LlmOps {
       // never an unconditional hint (VERDICT r12 item 1)
       q.join(tf, "tok")
         .join(BroadcastGuard.dim(idf,
-          length(col("tok")) + lit(8), "bm25 idf"), "tok")
+          length(col("tok")) + lit(8), "bm25 idf",
+          memoKey = Some(s"bm25-idf|$d")), "tok")
         .join(dl, "doc_id")
         .filter(col("doc_id") =!= col("qid"))
         .withColumn("term_score", r6(col("idf") * (col("tf") * 2.2) /
@@ -638,7 +639,8 @@ object LlmOps {
       val uniCt = bgs.groupBy(col("w1")).agg(count(lit(1)).as("uc"))
       val bgCt = bgs.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
       bgs.join(BroadcastGuard.dim(uniCt,
-          length(col("w1")) + lit(8), "surprisal unigrams"), "w1")
+          length(col("w1")) + lit(8), "surprisal unigrams",
+          memoKey = Some(s"surprisal-uni|$d")), "w1")
         .join(bgCt, "bg")
         .withColumn("surp",
           length(expr("bin(uc)")) - length(expr("bin(bc)")))
