@@ -1191,7 +1191,7 @@ object Bench {
            |  "standing_index": {
            |    "builds_sec": {${graft.sources.StandingIndex.buildLog.toSeq.sortBy(_._1)
                   .map { case (k, v) => s""""$k": ${f3(v)}""" }.mkString(", ")}},
-           |    "note": "wall seconds to BUILD each persisted standing index this run (key = kind@content-tag; neardup = bucketed minhash bands/members/shingles, ivf = centroids + cell-partitioned assignments). The per-query suite/scale timings for q_dedup_incremental_near and q_ann_persisted are SERVE-ONLY from run 2 on (run 1 pays the build once per fixture dir; min-of-N therefore reports the amortized serve cost a build-once/serve-many deployment sees). An empty map means every index was already on disk from a previous run"
+           |    "note": "wall seconds to BUILD each persisted standing index this run (key = kind@content-tag; neardup = bucketed minhash bands/members/shingles, ivf = centroids + cell-partitioned assignments). The per-query suite/scale timings for q_dedup_incremental_near and q_ann_persisted are SERVE-ONLY from run 2 on (run 1 pays the build once per fixture dir; min-of-N therefore reports the amortized serve cost a build-once/serve-many deployment sees). Builds from EARLIER sessions still report: the seconds are persisted in each index's marker and loaded when the on-disk index is found (an empty entry means a pre-r14 marker with no recorded cost)"
            |  },
            |  "ann_bounded_sf1": {
            |    "recall_vs_brute_sampled": ${annRecall._1.map(r => f"$r%.3f").getOrElse("null")},

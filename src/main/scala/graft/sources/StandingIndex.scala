@@ -65,9 +65,26 @@ import graft.vector.VectorFunctions
 object StandingIndex {
 
   /** Build wall-seconds by index label ("neardup@<tag>" / "ivf@<tag>"),
-    * recorded once per build for the bench artifact's amortization
-    * record. */
+    * for the bench artifact's amortization record. The seconds are also
+    * PERSISTED in each index's marker file, so a session that finds the
+    * index already on disk still reports what the build cost — the
+    * artifact's build-vs-serve record survives the build happening in
+    * an earlier run (exactly the deployment shape the index exists
+    * for). */
   val buildLog = new scala.collection.concurrent.TrieMap[String, Double]()
+
+  private def writeMarker(marker: java.io.File, sec: Double): Unit = {
+    marker.getParentFile.mkdirs()
+    java.nio.file.Files.write(marker.toPath,
+      f"$sec%.3f".getBytes("UTF-8"))
+  }
+
+  private def loadMarker(marker: java.io.File, label: String): Unit =
+    try {
+      val s = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
+      if (s.nonEmpty) buildLog.putIfAbsent(label, s.toDouble)
+    } catch { case _: Throwable => () } // pre-r14 empty marker: no record
 
   private def repoRoot: String =
     sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo")
@@ -149,10 +166,13 @@ object StandingIndex {
         NdBuckets, "rep", "rep")
       Layout.writeBucketed(sh.select(col("id"), size(col("sh")).as("n"),
         col("sh")), idx.shingles, s"$root/shingles", NdBuckets, "id", "id")
-      marker.getParentFile.mkdirs()
-      marker.createNewFile()
-      buildLog.put(s"neardup@$t", (System.nanoTime() - t0) / 1e9)
-    } else registerNearDup(spark, root, idx)
+      val sec = (System.nanoTime() - t0) / 1e9
+      writeMarker(marker, sec)
+      buildLog.put(s"neardup@$t", sec)
+    } else {
+      loadMarker(marker, s"neardup@$t")
+      registerNearDup(spark, root, idx)
+    }
     idx
   }
 
@@ -244,7 +264,7 @@ object StandingIndex {
     val root = s"$repoRoot/target/standing/ivf_$t"
     val idx = AnnIndex(s"$root/centroids", s"$root/assignments")
     val marker = new java.io.File(s"$root/_GRAFT_IVFIDX_v1")
-    if (marker.exists()) return idx
+    if (marker.exists()) { loadMarker(marker, s"ivf@$t"); return idx }
     val t0 = System.nanoTime()
     val c = Tables.embeddings(spark, d).select(col("vec_id").as("nid"),
       VectorFunctions.asDouble(col("embedding")).as("cv"))
@@ -262,9 +282,9 @@ object StandingIndex {
     val assigned = c.select(col("nid"), col("cv"),
       element_at(topCentroids(col("cv"), cents, 1), 1).as("cell"))
     Layout.writePartitioned(assigned, idx.assignments, "cell")
-    marker.getParentFile.mkdirs()
-    marker.createNewFile()
-    buildLog.put(s"ivf@$t", (System.nanoTime() - t0) / 1e9)
+    val sec = (System.nanoTime() - t0) / 1e9
+    writeMarker(marker, sec)
+    buildLog.put(s"ivf@$t", sec)
     idx
   }
 
