@@ -88,14 +88,10 @@ object Accuracy {
         // acc_emb markers from a different base dir, factor, or a
         // regenerated-in-place base must never serve their stale corpus
         // to this gate (review r13 + ADVICE r13 — path|factor alone
-        // could not see an in-place regeneration)
-        val base = new java.io.File(s"$d/embeddings.parquet")
+        // could not see an in-place regeneration). The signal is the
+        // shared [[graft.sources.StandingIndex.contentSig]] primitive.
         val contentSig =
-          if (base.isDirectory)
-            base.listFiles().filter(_.isFile).sortBy(_.getName)
-              .map(f => s"${f.getName}=${f.length}@${f.lastModified}")
-              .mkString(",")
-          else s"${base.length}@${base.lastModified}"
+          graft.sources.StandingIndex.contentSig(s"$d/embeddings.parquet")
         val tag = java.security.MessageDigest.getInstance("MD5")
           .digest(s"$d|$factor|$contentSig".getBytes("UTF-8"))
           .take(4).map("%02x".format(_)).mkString

@@ -144,7 +144,9 @@ object Bench {
         s, target, ckpt, keys = Seq("event_id"), orderCol = "ts_ns",
         nBuckets = 16, trigger = Some(Trigger.AvailableNow())))
     Some(s"$sess, $dedup, $upsert")
-  } catch { case e: Throwable =>
+  } catch { case scala.util.control.NonFatal(e) =>
+    // NonFatal only: an OOM here must kill the bench, not bank an
+    // artifact whose remaining numbers were measured on a dying JVM
     System.err.println(s"[bench] streaming metrics failed ($tag): $e")
     None
   }
@@ -805,7 +807,13 @@ object Bench {
       val preHeal = bestIsDegraded
       var dExtra = 0
       var waited = false
-      while (bestIsDegraded.isDefined && dExtra < 2 && budgetOk) {
+      // separate exit flag: dExtra feeds the artifact's stall_retries
+      // run-accounting, so it must count only runs that actually
+      // happened (review r14 — the old `dExtra = 2` sentinel published
+      // phantom retries)
+      var healingStopped = false
+      while (bestIsDegraded.isDefined && dExtra < 2 && !healingStopped &&
+             budgetOk) {
         var idle = idleCanaryFrac()
         if (idle >= 0 && idle < CanaryDegradedFrac && !waited && budgetOk) {
           // one bounded wait for the contention wave to pass
@@ -818,7 +826,7 @@ object Bench {
         if (idle >= 0 && idle < CanaryDegradedFrac) {
           System.err.println(f"[bench] scale $label: wave persists (idle " +
             f"$idle%.3f) - banking the degraded leg, flagged")
-          dExtra = 2 // stop healing; the flag machinery takes over
+          healingStopped = true // the flag machinery takes over
         } else {
           dExtra += 1
           System.err.println(f"[bench] scale $label: best completed run " +
@@ -1422,11 +1430,19 @@ object Bench {
     val streaming: Seq[(String, String)] =
       if (!streamEnabled) Seq.empty
       else {
-        val base = streamingMetrics(spark, sfDir, sfDir.split('/').last)
-          .map(sfDir.split('/').last -> _).toSeq
+        // labels must be distinct even when the suite dir is itself
+        // named sf1 (dev runs) — a duplicate JSON key would silently
+        // clobber one record; the tag also names the work dir, so
+        // distinct tags keep the two measurements' inputs/checkpoints
+        // apart
+        val baseLabel = sfDir.split('/').last
+        val scaledLabel = if (baseLabel == "sf1") "sf1_scaled" else "sf1"
+        val base = streamingMetrics(spark, sfDir, baseLabel)
+          .map(baseLabel -> _).toSeq
         val scaled =
           if (scaleEnabled && remainingBudgetSec > 420)
-            streamingMetrics(spark, scaleDir, "sf1").map("sf1" -> _).toSeq
+            streamingMetrics(spark, scaleDir, scaledLabel)
+              .map(scaledLabel -> _).toSeq
           else Seq.empty
         base ++ scaled
       }

@@ -90,8 +90,11 @@ object BroadcastGuard {
     * time (bm25's idf off the tf checkpoint, surprisal's unigrams off
     * the bigram checkpoint), so the plan-keyed memo missed every run
     * and re-paid the sizing pass. Callers pass a key that names the
-    * dim AND its source data (e.g. "bm25-idf|<dir>"); the same
-    * immutable-source contract as the plan key applies. */
+    * dim AND a CONTENT tag of its source
+    * ([[graft.sources.StandingIndex.tag]] — sizes+mtimes), so an
+    * in-place fixture regeneration mints a new key instead of serving
+    * the stale pinned dim; the plan-keyed path keeps the weaker
+    * immutable-path contract (its key embeds the path only). */
   def dim(table: DataFrame, payloadBytesPerRow: Column,
           label: String, memoKey: Option[String] = None): DataFrame = {
     val spark = table.sparkSession

@@ -588,7 +588,11 @@ object LlmOps {
       q.join(tf, "tok")
         .join(BroadcastGuard.dim(idf,
           length(col("tok")) + lit(8), "bm25 idf",
-          memoKey = Some(s"bm25-idf|$d")), "tok")
+          // content-tagged key: in-place fixture regeneration must
+          // invalidate the pinned dim, same contract as the plan key
+          memoKey = Some(
+            s"bm25-idf|${graft.sources.StandingIndex.tag(d, "documents")}")),
+          "tok")
         .join(dl, "doc_id")
         .filter(col("doc_id") =!= col("qid"))
         .withColumn("term_score", r6(col("idf") * (col("tf") * 2.2) /
@@ -640,7 +644,8 @@ object LlmOps {
       val bgCt = bgs.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
       bgs.join(BroadcastGuard.dim(uniCt,
           length(col("w1")) + lit(8), "surprisal unigrams",
-          memoKey = Some(s"surprisal-uni|$d")), "w1")
+          memoKey = Some(s"surprisal-uni|${
+            graft.sources.StandingIndex.tag(d, "documents")}")), "w1")
         .join(bgCt, "bg")
         .withColumn("surp",
           length(expr("bin(uc)")) - length(expr("bin(bc)")))
@@ -753,8 +758,11 @@ object LlmOps {
     // doc_id) — with www./query/trailing-slash noise planted by doc_id
     // residue classes — and the oracle replays the identical synthesis
     // + canonicalization, so the collapse itself is what is compared.
-    // One partial+final aggregate; at 100 TB this is a single
-    // hash-shuffle on the host key, the minimum possible.
+    // Plan shape: the exact distinct-URL count makes this the
+    // TWO-exchange exact-distinct ladder — partial on (host, url),
+    // exchange, dedup, re-exchange on host, final — with map-side
+    // partials at both levels; a single-exchange variant exists only
+    // by degrading to approx_count_distinct.
     "q_url_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val url = concat(

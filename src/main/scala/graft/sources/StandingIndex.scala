@@ -90,8 +90,11 @@ object StandingIndex {
     sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo")
 
   /** Content signal of one fixture parquet (dir of part files or a
-    * single file): names + sizes + mtimes. */
-  private def contentSig(path: String): String = {
+    * single file): names + sizes + mtimes. Shared staleness primitive —
+    * the capped-ANN accuracy fixture and the BroadcastGuard memo keys
+    * use the same signal, so all three staleness gates agree on what
+    * "same content" means (review r14). */
+  private[graft] def contentSig(path: String): String = {
     val f = new java.io.File(path)
     if (f.isDirectory)
       f.listFiles().filter(_.isFile).sortBy(_.getName)
@@ -99,7 +102,8 @@ object StandingIndex {
     else s"${f.length}@${f.lastModified}"
   }
 
-  private def tag(d: String, table: String): String =
+  /** 8-hex content tag of `<d>/<table>.parquet` (dir + content signal). */
+  private[graft] def tag(d: String, table: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s"$d|${contentSig(s"$d/$table.parquet")}".getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString

@@ -307,19 +307,25 @@ object EventsStreaming {
         val latest = {
           // latest row per key within the batch (a batch can carry
           // several updates for one key; MERGE wants one). Pinned
-          // (localCheckpoint) because TWO actions consume it — the
-          // bucket-list collect and the merge write — and an unpinned
-          // batch re-reads the micro-batch SOURCE once per action
-          // (measured: the bench's rate probe counted 2× numInputRows,
-          // i.e. doubled source IO per batch at stream scale).
+          // (persist, released in the finally below) because TWO
+          // actions consume it — the bucket-list collect and the merge
+          // write — and an unpinned batch re-reads the micro-batch
+          // SOURCE once per action (measured: the bench's rate probe
+          // counted 2× numInputRows, i.e. doubled source IO per batch
+          // at stream scale). persist, NOT localCheckpoint: the cache
+          // keeps lineage (an executor loss recomputes from source
+          // instead of failing the query) and unpersist releases the
+          // blocks per batch instead of letting a long-running stream
+          // accumulate them until a driver GC (review r14).
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(keys.map(col): _*)
             .orderBy(col(orderCol).desc)
           batch.withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_rn")
             .withColumn("_kb", pmod(hash(keys.map(col): _*), lit(nBuckets)))
-            .localCheckpoint()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         }
+        try {
         val buckets = latest.select(col("_kb")).distinct()
           .collect().map(_.getInt(0)).sorted
         val target =
@@ -372,6 +378,7 @@ object EventsStreaming {
         val out = fs.create(lastBatchP, true)
         try out.write(s"$checkpoint\n$batchId\n".getBytes("UTF-8"))
         finally out.close()
+        } finally latest.unpersist(blocking = false)
         }
         ()
       }
