@@ -812,8 +812,15 @@ object Bench {
       // happened (review r14 — the old `dExtra = 2` sentinel published
       // phantom retries)
       var healingStopped = false
+      // healing is a luxury, coverage is the record: under a tight
+      // global budget (the driver's default 2100 s) the waits + heal
+      // runs must not push later POINTS into budget_truncated (the
+      // first r14 anchor attempt lost 13 of 30 points that way, and
+      // quarantineIfWorse had to restore the previous round's record) —
+      // so heals only spend budget while at least 10 minutes remain
+      val HealMinBudgetSec = 600.0
       while (bestIsDegraded.isDefined && dExtra < 2 && !healingStopped &&
-             budgetOk) {
+             budgetOk && remainingSec > HealMinBudgetSec) {
         var idle = idleCanaryFrac()
         if (idle >= 0 && idle < CanaryDegradedFrac && !waited && budgetOk) {
           // one bounded wait for the contention wave to pass
