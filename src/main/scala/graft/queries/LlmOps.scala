@@ -740,6 +740,15 @@ object LlmOps {
     "q_dedup_incremental_near" -> ((s, d) =>
       graft.sources.StandingIndex.nearDupIncrement(s, d)),
 
+    // Index MAINTENANCE: the same probe served from an index kept
+    // current by APPENDING an increment (standing = doc_id%5∈{1,2},
+    // appended = {3,4}) instead of rebuilding — append work is
+    // proportional to the increment, and the maintained index must
+    // answer exactly like a monolithic one over doc_id%5≠0 (the oracle
+    // is q_dedup_incremental_near's).
+    "q_index_append" -> ((s, d) =>
+      graft.sources.StandingIndex.nearDupAppendServe(s, d)),
+
     // IVF serve from the persisted index: centroids parquet + cell-
     // partitioned assignments; a query probes nProbe cells and the scan
     // PRUNES to those directories (PartitionFilters) — recall-gated in
@@ -1292,6 +1301,23 @@ object LlmOps {
     // restricted to cross-split pairs (same LSH+exact-verify recall
     // argument as q_dedup_minhash)
     "q_dedup_incremental_near" ->
+      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |         LIST_DISTINCT([ARRAY_TO_STRING(ts[i:i+2], ' ') FOR i IN RANGE(1, LEN(ts)-1)]) AS s
+        |       FROM d WHERE LEN(ts) >= 3)
+        |SELECT b.doc_id AS doc_id, a.doc_id AS dup_id,
+        |  ROUND(LEN(LIST_INTERSECT(b.s, a.s))
+        |    / (LEN(b.s) + LEN(a.s) - LEN(LIST_INTERSECT(b.s, a.s))), 3) AS jaccard
+        |FROM sh b JOIN sh a
+        |  ON b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
+        |WHERE LEN(LIST_INTERSECT(b.s, a.s))
+        |    / (LEN(b.s) + LEN(a.s) - LEN(LIST_INTERSECT(b.s, a.s))) >= 0.9""".stripMargin,
+
+    // the append-maintained index must answer IDENTICALLY to the
+    // monolithic one — deliberately the same oracle as
+    // q_dedup_incremental_near (that equality is the maintenance
+    // contract under test)
+    "q_index_append" ->
       """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
         |sh AS (SELECT doc_id,
         |         LIST_DISTINCT([ARRAY_TO_STRING(ts[i:i+2], ' ') FOR i IN RANGE(1, LEN(ts)-1)]) AS s

@@ -135,6 +135,45 @@ object StandingIndex {
       struct(lit(j).as("band"), xxhash64(lit(j) +: cols: _*).as("key"))
     }
 
+  /** The three index tables of one corpus slice — the shared
+    * signature-collapse body of build AND append: (bands, members,
+    * shingles-with-size). Banding one representative per DISTINCT
+    * minhash signature is lossless (members share the signature, so
+    * rep-level band collisions are exactly member-level ones) and
+    * bounds bucket size by distinct signatures, not corpus
+    * multiplicity. */
+  private def nearDupTables(corpus: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val sh = shingleTable(corpus)
+    val rows = NumHashes / Bands
+    val keyed = graft.dedup.Dedup.minhashSignatures(sh, NumHashes)
+      .withColumn("gk",
+        xxhash64((0 until NumHashes).map(i => col(s"m$i")): _*))
+    val aggs = min(col("id")).as("rep") +:
+      (0 until NumHashes).map(i => min(col(s"m$i")).as(s"m$i"))
+    val groups = keyed.groupBy(col("gk")).agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint() // feeds both bands and members below
+    val bands = groups
+      .select(col("rep"), explode(array(bandCols(rows): _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("rep"))
+    val members = keyed.select(col("id"), col("gk"))
+      .join(groups.select(col("gk"), col("rep")), "gk")
+      .select(col("id"), col("rep"))
+    (bands, members, sh.select(col("id"), size(col("sh")).as("n"), col("sh")))
+  }
+
+  private def buildNearDup(spark: SparkSession, corpus: DataFrame,
+                           root: String, idx: NearDupIndex): Unit = {
+    val (bands, members, sh) = nearDupTables(corpus)
+    Layout.writeBucketed(bands, idx.bands, s"$root/bands",
+      NdBuckets, "key", "key")
+    Layout.writeBucketed(members, idx.members, s"$root/members",
+      NdBuckets, "rep", "rep")
+    Layout.writeBucketed(sh, idx.shingles, s"$root/shingles",
+      NdBuckets, "id", "id")
+  }
+
   /** Ensure the near-dup index for the standing corpus of `d` exists
     * (building it on first use) and its three tables are registered in
     * this session's catalog; returns the table names. */
@@ -146,30 +185,8 @@ object StandingIndex {
     val marker = new java.io.File(s"$root/_GRAFT_NDIDX_v1")
     if (!marker.exists()) {
       val t0 = System.nanoTime()
-      val corpus = Tables.documents(spark, d).filter(col("doc_id") % 5 =!= 0)
-      val sh = shingleTable(corpus)
-      val rows = NumHashes / Bands
-      val keyed = graft.dedup.Dedup.minhashSignatures(sh, NumHashes)
-        .withColumn("gk",
-          xxhash64((0 until NumHashes).map(i => col(s"m$i")): _*))
-      // signature collapse: one banding row per DISTINCT signature
-      val aggs = min(col("id")).as("rep") +:
-        (0 until NumHashes).map(i => min(col(s"m$i")).as(s"m$i"))
-      val groups = keyed.groupBy(col("gk")).agg(aggs.head, aggs.tail: _*)
-        .localCheckpoint() // feeds both bands and members below
-      val bands = groups
-        .select(col("rep"), explode(array(bandCols(rows): _*)).as("bk"))
-        .select(col("bk.band").as("band"), col("bk.key").as("key"),
-          col("rep"))
-      val members = keyed.select(col("id"), col("gk"))
-        .join(groups.select(col("gk"), col("rep")), "gk")
-        .select(col("id"), col("rep"))
-      Layout.writeBucketed(bands, idx.bands, s"$root/bands",
-        NdBuckets, "key", "key")
-      Layout.writeBucketed(members, idx.members, s"$root/members",
-        NdBuckets, "rep", "rep")
-      Layout.writeBucketed(sh.select(col("id"), size(col("sh")).as("n"),
-        col("sh")), idx.shingles, s"$root/shingles", NdBuckets, "id", "id")
+      buildNearDup(spark,
+        Tables.documents(spark, d).filter(col("doc_id") % 5 =!= 0), root, idx)
       val sec = (System.nanoTime() - t0) / 1e9
       writeMarker(marker, sec)
       buildLog.put(s"neardup@$t", sec)
@@ -177,6 +194,60 @@ object StandingIndex {
       loadMarker(marker, s"neardup@$t")
       registerNearDup(spark, root, idx)
     }
+    idx
+  }
+
+  /** Index MAINTENANCE: the standing index kept current by APPENDING an
+    * increment instead of rebuilding — the economics that make
+    * build-once/serve-many true over a growing lake. The increment's
+    * collapsed signature groups INSERT into the bucketed tables
+    * (`insertInto` respects the bucket spec, so serves stay
+    * exchange-free); an increment doc whose signature equals a standing
+    * group's keeps its own group — recall is unaffected because
+    * identical signatures collide on every band, and all candidates are
+    * exact-verified anyway. Appended work is proportional to the
+    * INCREMENT: the standing corpus is neither re-shingled nor
+    * rewritten (plan/scan-asserted in StandingIndexSpec).
+    *
+    * Fixture slices: standing = doc_id%5 ∈ {1,2}, appended increment =
+    * doc_id%5 ∈ {3,4}, probe batch = doc_id%5 = 0 — so the maintained
+    * index must answer exactly like a monolithic index over doc_id%5≠0,
+    * which is what the oracle (and q_dedup_incremental_near's) checks.
+    * Exemplar caveat: the insert itself is not atomic (a crash
+    * mid-append leaves partial bucket files); a production deployment
+    * stages the increment and swaps, the upsert sink's backup-rename
+    * protocol. */
+  def ensureNearDupAppended(spark: SparkSession,
+                            d: String): NearDupIndex = synchronized {
+    val t = tag(d, "documents")
+    val root = s"$repoRoot/target/standing/nda_$t"
+    val idx = NearDupIndex(s"graft_nda_${t}_bands",
+      s"graft_nda_${t}_members", s"graft_nda_${t}_shingles")
+    val baseMarker = new java.io.File(s"$root/_GRAFT_NDIDX_v1")
+    val appendMarker = new java.io.File(s"$root/_GRAFT_NDIDX_APPEND_v1")
+    val docs = Tables.documents(spark, d)
+    if (!baseMarker.exists()) {
+      val t0 = System.nanoTime()
+      buildNearDup(spark, docs.filter((col("doc_id") % 5).isin(1, 2)),
+        root, idx)
+      val sec = (System.nanoTime() - t0) / 1e9
+      writeMarker(baseMarker, sec)
+      buildLog.put(s"neardup-base@$t", sec)
+    } else {
+      loadMarker(baseMarker, s"neardup-base@$t")
+      registerNearDup(spark, root, idx)
+    }
+    if (!appendMarker.exists()) {
+      val t0 = System.nanoTime()
+      val (bands, members, sh) =
+        nearDupTables(docs.filter((col("doc_id") % 5).isin(3, 4)))
+      bands.write.insertInto(idx.bands)
+      members.write.insertInto(idx.members)
+      sh.write.insertInto(idx.shingles)
+      val sec = (System.nanoTime() - t0) / 1e9
+      writeMarker(appendMarker, sec)
+      buildLog.put(s"neardup-append@$t", sec)
+    } else loadMarker(appendMarker, s"neardup-append@$t")
     idx
   }
 
@@ -215,10 +286,22 @@ object StandingIndex {
     * parameters affect recall only (miss ≈ 4e-8 at 0.9 — the
     * q_dedup_minhash argument), never precision. */
   def nearDupIncrement(spark: SparkSession, d: String,
-                       threshold: Double = 0.9): DataFrame = {
-    val idx = ensureNearDup(spark, d)
+                       threshold: Double = 0.9): DataFrame =
+    serveNearDup(spark, ensureNearDup(spark, d),
+      Tables.documents(spark, d).filter(col("doc_id") % 5 === 0), threshold)
+
+  /** [[nearDupIncrement]] against the APPEND-MAINTAINED index (see
+    * [[ensureNearDupAppended]]): the probe batch's answer must equal
+    * the monolithic index's — same oracle — while the index itself was
+    * built as standing + appended increment. */
+  def nearDupAppendServe(spark: SparkSession, d: String,
+                         threshold: Double = 0.9): DataFrame =
+    serveNearDup(spark, ensureNearDupAppended(spark, d),
+      Tables.documents(spark, d).filter(col("doc_id") % 5 === 0), threshold)
+
+  private def serveNearDup(spark: SparkSession, idx: NearDupIndex,
+                           batch: DataFrame, threshold: Double): DataFrame = {
     val rows = NumHashes / Bands
-    val batch = Tables.documents(spark, d).filter(col("doc_id") % 5 === 0)
     val bsh = shingleTable(batch).localCheckpoint() // bands + verification
     val bBands = graft.dedup.Dedup.minhashSignatures(bsh, NumHashes)
       .select(col("id").as("bid"),

@@ -105,6 +105,24 @@ class StandingIndexSpec extends SparkSuite {
     }
   }
 
+  test("append-maintained index answers identically to the monolithic one") {
+    // the maintenance contract: standing(%5∈{1,2}) + appended(%5∈{3,4})
+    // must serve the probe exactly like the index built whole over %5≠0
+    val mono = SparkEntry.queries("q_dedup_incremental_near")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    val maintained = SparkEntry.queries("q_index_append")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    assert(maintained == mono,
+      s"append-maintained serve diverges from monolithic: " +
+        s"extra=${maintained -- mono}, missing=${mono -- maintained}")
+    // and the append is once-only: a second serve must not re-append
+    val builds = graft.sources.StandingIndex.buildLog.size
+    SparkEntry.queries("q_index_append")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    assert(graft.sources.StandingIndex.buildLog.size == builds,
+      "a second serve must not rebuild or re-append")
+  }
+
   test("index builds once: repeat serves never rebuild") {
     SparkEntry.queries("q_dedup_incremental_near")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
