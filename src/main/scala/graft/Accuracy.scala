@@ -43,6 +43,21 @@ object Accuracy {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val persRecall = (brute & pers).size.toDouble / brute.size
 
+    // q_ann_index_append: the APPEND-MAINTAINED IVF index (standing
+    // vec_id%5∈{1,2} clustered, %5∈{3,4} assigned to the frozen
+    // centroids and appended atomically) must still retrieve — recall
+    // vs exact brute force over the SAME corpus the maintained index
+    // holds (%5 ≠ 0). This is the number that catches a bad append
+    // (lost/duplicated cells) AND excessive centroid drift.
+    val corpusNo0 = e.filter(col("vec_id") % 5 =!= 0)
+    val bruteApp = Ann.bruteForceTopK(q, corpusNo0, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val appServed = SparkEntry.queries("q_ann_index_append")(spark, d)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val appRecall = (bruteApp & appServed).size.toDouble / bruteApp.size
+
     // q_ann_lsh_big: the BOUNDED all-shuffled (no-broadcast) LSH path on
     // a LARGE query set — what the registry runs; same banding as
     // lshTopK plus the per-bucket/per-query caps (which do not bind at
@@ -75,13 +90,13 @@ object Accuracy {
     // the whole capped-regime block degrades to a single failing row
     // (-1.0) on any fixture-generation error — it must never abort the
     // artifact and take the other eight gates with it (review r13)
-    val recallCapped = try {
+    val (recallCapped, cappedDir) = try {
       val nVec = e.count()
       if (nVec >= 20000L)
         // the caps already bind on the base corpus — measure there
         // directly instead of paying a pointless 2× replica fixture +
         // doubled brute-force pass
-        Bench.boundedAnnRecallSf1(spark, d).getOrElse(-1.0)
+        (Bench.boundedAnnRecallSf1(spark, d).getOrElse(-1.0), Some(d))
       else {
         val factor = math.max(2, math.ceil(20000.0 / math.max(1L, nVec)).toInt)
         // dir is keyed by (base fixture, factor, base CONTENT signal):
@@ -98,12 +113,32 @@ object Accuracy {
         val accEmbDir = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo") +
           s"/target/scale/acc_emb_$tag"
         val dir = ScaleFixture.ensureEmbeddings(spark, d, accEmbDir, factor)
-        Bench.boundedAnnRecallSf1(spark, dir).getOrElse(-1.0)
+        (Bench.boundedAnnRecallSf1(spark, dir).getOrElse(-1.0), Some(dir))
       }
     } catch { case scala.util.control.NonFatal(ex) =>
       // NonFatal only (ADVICE r13): an OOM/interrupt must kill the JVM,
       // not masquerade as a -1.0 gate row
       System.err.println(s"[accuracy] capped-regime fixture/recall failed: $ex")
+      (-1.0, None)
+    }
+
+    // q_ann_lsh_big_persisted, both regimes (VERDICT r14 item 3): the
+    // fixture regime gates every batch query (caps are no-ops here,
+    // like recallBig above); the capped regime reuses the SAME scaled
+    // fixture as q_ann_lsh_big_capped — the persisted index is built
+    // over its standing corpus once and the sampled-query recall gates
+    // the regime where the per-bucket caps actually bind.
+    val persLshRecall = try {
+      persistedLshBigRecall(spark, d, sampleMod = 1).getOrElse(-1.0)
+    } catch { case scala.util.control.NonFatal(ex) =>
+      System.err.println(s"[accuracy] persisted-LSH recall failed: $ex")
+      -1.0
+    }
+    val persLshCapped = try {
+      cappedDir.flatMap(persistedLshBigRecall(spark, _, sampleMod = 499))
+        .getOrElse(-1.0)
+    } catch { case scala.util.control.NonFatal(ex) =>
+      System.err.println(s"[accuracy] persisted-LSH capped recall failed: $ex")
       -1.0
     }
 
@@ -183,12 +218,45 @@ object Accuracy {
         ivfRecall >= 0.85),
       Check("q_ann_persisted", "topk_recall_vs_brute_force", persRecall,
         0.85, persRecall >= 0.85),
+      Check("q_ann_index_append", "topk_recall_vs_brute_force", appRecall,
+        0.85, appRecall >= 0.85),
+      Check("q_ann_lsh_big_persisted", "topk_recall_vs_brute_force",
+        persLshRecall, 0.85, persLshRecall >= 0.85),
+      Check("q_ann_lsh_big_persisted_capped",
+        "topk_recall_vs_brute_caps_binding", persLshCapped, 0.85,
+        persLshCapped >= 0.85),
       Check("q_ann_lsh_big", "topk_recall_vs_brute_force", recallBig, 0.85,
         recallBig >= 0.85),
       Check("q_ann_lsh_big_capped", "topk_recall_vs_brute_caps_binding",
         recallCapped, 0.85, recallCapped >= 0.85),
       Check("q_approx_distinct", "max_rel_error_vs_exact", err, 0.02, err <= 0.02),
       Check("q_dedup_simhash", "pairs_diff_vs_all_pairs", diff.toDouble, 0.0, diff == 0))
+  }
+
+  /** Sampled top-5 recall of the PERSISTED bounded-LSH serve
+    * (q_ann_lsh_big_persisted) vs exact brute force over the standing
+    * corpus (vec_id%5 ≠ 0). `sampleMod` = 1 gates every batch query
+    * (the fixture regime); 499 hash-samples queries on the
+    * capped-regime scaled fixture — the same unbiased estimator
+    * [[Bench.boundedAnnRecallSf1]] uses (caps are per-query, so
+    * sampled-query recall estimates full-run recall). */
+  private def persistedLshBigRecall(spark: SparkSession, dir: String,
+                                    sampleMod: Int): Option[Double] = {
+    val e = Tables.embeddings(spark, dir)
+    val qs = e.filter(col("vec_id") % 5 === 0)
+      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+    val qids = qs.select("vec_id").collect().map(_.getLong(0)).toSet
+    if (qids.isEmpty) return None
+    val brute = Ann.bruteForceTopK(qs, e.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (brute.isEmpty) return None
+    val served = graft.sources.StandingIndex.lshBigServe(spark, dir)
+      .filter(col("qid").isin(qids.toSeq.map(Long.box): _*))
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Some((brute & served).size.toDouble / brute.size)
   }
 
   def toJson(cs: Seq[Check]): String =

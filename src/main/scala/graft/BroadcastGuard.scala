@@ -107,12 +107,21 @@ object BroadcastGuard {
       payloadBytesPerRow.toString)
     // one materialization serves the sizing aggregate AND the join —
     // without it the guard would re-run the (possibly corpus-wide)
-    // aggregate that produced the dim table
-    val (pinned, bytes) = sized.computeIfAbsent(key, { _ =>
+    // aggregate that produced the dim table. The sizing job runs
+    // OUTSIDE the map and installs via putIfAbsent (ADVICE r14):
+    // computeIfAbsent would hold the bin lock across a multi-second
+    // Spark job — key-colliding concurrent dim() calls would serialize
+    // behind it and a re-entrant guard use would deadlock. The cost is
+    // a rare duplicate sizing pass, whose loser unpersists its
+    // checkpoint blocks.
+    val cached = sized.get(key)
+    val (pinned, bytes) = if (cached != null) cached else {
       val p = table.localCheckpoint()
       val row = p.agg(sum(payloadBytesPerRow.cast("long")).as("b")).head()
-      (p, if (row.isNullAt(0)) 0L else row.getLong(0))
-    })
+      val v = (p, if (row.isNullAt(0)) 0L else row.getLong(0))
+      val prev = sized.putIfAbsent(key, v)
+      if (prev != null) { p.unpersist(); prev } else v
+    }
     if (bytes <= effMax) broadcast(pinned)
     else {
       System.err.println(f"[guard] $label dim ~${bytes / 1e9}%.2f GB " +

@@ -349,6 +349,16 @@ object LlmOps {
         "vec_id", "embedding", k = 5, dim = EMBED_DIM)
     }),
 
+    // q_ann_lsh_big served from the PERSISTED bounded-LSH index
+    // (VERDICT r14 item 3): the corpus-side signing / banding /
+    // per-bucket capping is paid once at index build and every serve
+    // signs only the probe batch (vec_id%5 = 0) against the standing
+    // corpus (%5 ≠ 0) — zero corpus re-scan/re-sign, plan-asserted in
+    // StandingIndexSpec; capped-regime recall driver-gated in ACCURACY
+    // like the transient path.
+    "q_ann_lsh_big_persisted" -> ((s, d) =>
+      graft.sources.StandingIndex.lshBigServe(s, d)),
+
     // Stratified deterministic sampling: downweight the dominant
     // language, keep the tail — the canonical corpus-rebalancing step.
     // Pure map-side md5 predicate, replayable by any engine.
@@ -756,6 +766,18 @@ object LlmOps {
     // sensitive at build; the persisted serve is deterministic).
     "q_ann_persisted" -> ((s, d) =>
       graft.sources.StandingIndex.annServe(s, d)),
+
+    // IVF index MAINTENANCE (VERDICT r14 item 2): the same serve
+    // against an index whose generation 0 clustered the STANDING
+    // vectors (vec_id%5 ∈ {1,2}) and whose increment ({3,4}) was
+    // assigned to the FROZEN centroids and appended atomically (the
+    // stage + hard-link + pointer-flip protocol — a crash at any step
+    // leaves the committed generation serving, a re-run neither loses
+    // nor duplicates rows). Centroid drift induced by the append is
+    // measured and persisted in the generation meta; recall of the
+    // appended index is driver-gated in ACCURACY at ≥ 0.85.
+    "q_ann_index_append" -> ((s, d) =>
+      graft.sources.StandingIndex.annAppendServe(s, d)),
 
     // URL/domain-grain dedup (r13 VERDICT stretch 7): the crawl-pipeline
     // pass that runs BEFORE content dedup — canonicalize each doc's URL

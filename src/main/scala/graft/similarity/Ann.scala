@@ -388,18 +388,62 @@ object Ann {
       VectorFunctions.asDouble(col(vecCol)).as("qv"))
     val c = candidates.select(col(idCol).as("nid"),
       VectorFunctions.asDouble(col(vecCol)).as("cv"))
-    def sigCols(side: String) =
-      (0 until numSigs).map(s => col(s"__sig$s").as(s"$side$s"))
-    val qb = explodeBands(withSignatures(q, "qv", dim, bits, numSigs),
-        numSigs, bits, bands, keepSigs = true)
-      .select(col("qid") +: col("bk") +: sigCols("sq"): _*)
-    val cb = graft.plans.GroupTopK.topKPerGroup(
+    val cb = boundedBandTable(candidates, idCol, vecCol, dim, bits, bands,
+      maxBucket, numSigs)
+    lshRankServe(q, cb, c, k, dim, bits, bands, capPerQuery, numSigs)
+  }
+
+  /** The registry/default bounded-mode signature count — the persisted
+    * index DDL ([[graft.sources.StandingIndex.ensureLshBounded]]) needs
+    * it to name the sn0..snN columns. */
+  val BoundedNumSigs = 16
+
+  /** The CORPUS side of the bounded path, as a standalone table:
+    * signatures attached, band keys exploded and FLATTENED to (band,
+    * key) columns, per-bucket membership capped at `maxBucket` via
+    * GroupTopK — i.e. everything [[lshTopKBounded]] recomputes over the
+    * candidate set per invocation. [[graft.sources.StandingIndex]]
+    * persists exactly this table (bucketed by key) so a serve pays
+    * none of it. The cap's hash order folds (band, key, nid) exactly
+    * as the old struct form did (Spark's xxhash64 folds struct fields
+    * in sequence), so capped membership — and therefore every output —
+    * is bit-identical to the pre-refactor plan. */
+  private[graft] def boundedBandTable(candidates: DataFrame, idCol: String,
+                                      vecCol: String, dim: Int,
+                                      bits: Int = 64, bands: Int = 8,
+                                      maxBucket: Int = 64,
+                                      numSigs: Int = 16): DataFrame = {
+    val c = candidates.select(col(idCol).as("nid"),
+      VectorFunctions.asDouble(col(vecCol)).as("cv"))
+    val sigCols = (0 until numSigs).map(s => col(s"__sig$s").as(s"sn$s"))
+    graft.plans.GroupTopK.topKPerGroup(
       explodeBands(withSignatures(c, "cv", dim, bits, numSigs),
           numSigs, bits, bands, keepSigs = true)
-        .select(col("nid") +: col("bk") +: sigCols("sn"): _*),
-      groupCols = Seq(col("bk")),
-      order = Seq(xxhash64(col("bk"), col("nid")).asc, col("nid").asc),
+        .select(Seq(col("nid"), col("bk.band").as("band"),
+          col("bk.key").as("key")) ++ sigCols: _*),
+      groupCols = Seq(col("band"), col("key")),
+      order = Seq(xxhash64(col("band"), col("key"), col("nid")).asc,
+        col("nid").asc),
       k = maxBucket, maxBufferedRows = Some(AnnTopKBudget))
+  }
+
+  /** The QUERY side of the bounded path: band the (qid, qv) query set,
+    * collide it against a corpus band table `cb` (transient or
+    * persisted — when persisted+bucketed by key, the index side joins
+    * exchange-free), rank candidates by stacked-signature hamming,
+    * cap per query, exact-cosine re-rank against `cVecs` (nid, cv).
+    * Shared verbatim by [[lshTopKBounded]] and the standing-index
+    * serve so the two paths cannot drift. */
+  private[graft] def lshRankServe(q: DataFrame, cb: DataFrame,
+                                  cVecs: DataFrame, k: Int, dim: Int,
+                                  bits: Int = 64, bands: Int = 8,
+                                  capPerQuery: Int = 2000,
+                                  numSigs: Int = 16): DataFrame = {
+    val qSigCols = (0 until numSigs).map(s => col(s"__sig$s").as(s"sq$s"))
+    val qb = explodeBands(withSignatures(q, "qv", dim, bits, numSigs),
+        numSigs, bits, bands, keepSigs = true)
+      .select(Seq(col("qid"), col("bk.band").as("band"),
+        col("bk.key").as("key")) ++ qSigCols: _*)
     // hamming over ALL numSigs·bits signature bits — identical per pair
     // across band rows, so min() just picks it portably. It is computed
     // IN the band-join stage (map-side on the join output, before any
@@ -426,7 +470,7 @@ object Ann {
     // (explicit numPartitions ⇒ AQE does not coalesce it away); same
     // bytes through the exchange, no concurrent-map cliff.
     val aggParts = 256
-    val cand = qb.join(cb.hint("shuffle_hash"), "bk")
+    val cand = qb.join(cb.hint("shuffle_hash"), Seq("band", "key"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), ham.as("ham"))
       .repartition(aggParts, col("qid"), col("nid"))
@@ -465,13 +509,13 @@ object Ann {
     // ceiling is effectively unbounded (caller opted out of the guard),
     // the sizing count() — which re-executes the unmaterialized query
     // plan — is skipped entirely.
-    val spark = queries.sparkSession
+    val spark = q.sparkSession
     val bcastMax = spark.conf
       .get(BroadcastMaxBytesKey, DefaultBroadcastMaxBytes.toString).toLong
     val effMax = bcastMax / 2
     val qBytes =
       if (effMax >= Long.MaxValue / 4) 0L
-      else queries.select(col(idCol)).count() * dim * 8L
+      else q.select(col("qid")).count() * dim * 8L
     val qAttach = if (qBytes <= effMax) broadcast(q)
       else {
         System.err.println(f"[ann] re-rank query side ~${qBytes / 1e9}%.2f GB " +
@@ -481,7 +525,7 @@ object Ann {
           "to restore the broadcast re-rank)")
         q.hint("shuffle_hash")
       }
-    val scored = capped.join(c.hint("shuffle_hash"), "nid")
+    val scored = capped.join(cVecs.hint("shuffle_hash"), "nid")
       .join(qAttach, "qid")
       .withColumn("cos_sim", VectorFunctions.cosineRounded(col("qv"), col("cv"), 3))
       .select(col("qid"), col("nid"), col("cos_sim"))

@@ -1,6 +1,9 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.io.File
+import java.nio.file.{Files, StandardCopyOption, StandardOpenOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -8,7 +11,8 @@ import graft.text.TextFunctions
 import graft.vector.VectorFunctions
 
 /** Persisted standing indexes: build once, serve many (VERDICT r13
-  * next-round item 1).
+  * next-round item 1), maintained by APPEND and kept healthy by
+  * compaction + GC (VERDICT r14 items 1-4).
   *
   * Every other near-dup / ANN query in the registry recomputes
   * shingles, minhash signatures, band keys and IVF cells from raw data
@@ -23,7 +27,7 @@ import graft.vector.VectorFunctions
   * layout whose write-side shuffle is paid once and amortized over
   * every downstream serve ([[Layout]]'s q_bucket_join pattern).
   *
-  * Two indexes:
+  * Three index families:
   *
   *  - NEAR-DUP index over the standing document corpus (the fixture
   *    convention q_dedup_incremental established: corpus =
@@ -55,6 +59,38 @@ import graft.vector.VectorFunctions
   *    the scan PRUNES to those directories at planning time
   *    (PartitionFilters — the moral equivalent of a reducer fetching
   *    exactly its index slice) — zero corpus re-scan, zero re-signing.
+  *    [[ensureAnnAppended]] additionally maintains the index by
+  *    appending a new embedding batch ASSIGNED TO THE EXISTING
+  *    centroids (no rebuild; centroid drift is measured and recorded
+  *    so a deployment knows when a re-cluster is due).
+  *
+  *  - Bounded SRP-LSH index for the LARGE query-set path
+  *    ([[ensureLshBounded]]): the corpus-side work of
+  *    [[graft.similarity.Ann.lshTopKBounded]] — signatures, exploded
+  *    band keys, per-bucket capped posting lists — persisted as a
+  *    bucketed table plus a bucketed (nid, vector) table for the
+  *    re-rank attach. q_ann_lsh_big re-signs and re-caps the whole
+  *    corpus per invocation; the persisted serve signs only the query
+  *    batch (VERDICT r14 item 3).
+  *
+  * ATOMIC MAINTENANCE (VERDICT r14 item 1 — the one known wrong-answer
+  * path): r14's append did three sequential `insertInto` calls with a
+  * marker written after, so a crash mid-append left partial bucket
+  * files and a re-run duplicated member rows → duplicate output pairs.
+  * Maintained indexes now commit by GENERATION: an append stages the
+  * increment's tables into the NEXT generation directory, hard-links
+  * the current generation's immutable files in (work ∝ increment: no
+  * data is copied or rewritten), and then flips a single pointer file
+  * via temp-file + atomic rename. The pointer flip is the commit — the
+  * reference's own protocol, where the MOF+index pair becomes visible
+  * to the servlet only once the index record exists
+  * (src/MOFServer/IndexInfo.h:98-104). A crash anywhere before the
+  * flip leaves the current generation untouched and the re-run sweeps
+  * the partial staging dir; concurrent processes serialize on an OS
+  * file lock. Superseded generations become garbage for [[gc]];
+  * repeated appends accrete one file set per generation until
+  * [[compactNearDup]] rewrites the current generation into one file
+  * per bucket (VERDICT r14 item 4).
   *
   * Index identity is content-keyed: the tag folds in the source
   * parquet's file sizes+mtimes, so a regenerated-in-place fixture
@@ -66,40 +102,56 @@ object StandingIndex {
 
   /** Build wall-seconds by index label ("neardup@<tag>" / "ivf@<tag>"),
     * for the bench artifact's amortization record. The seconds are also
-    * PERSISTED in each index's marker file, so a session that finds the
-    * index already on disk still reports what the build cost — the
-    * artifact's build-vs-serve record survives the build happening in
-    * an earlier run (exactly the deployment shape the index exists
-    * for). */
+    * PERSISTED in each index's marker/meta file, so a session that
+    * finds the index already on disk still reports what the build
+    * cost — the artifact's build-vs-serve record survives the build
+    * happening in an earlier run (exactly the deployment shape the
+    * index exists for). */
   val buildLog = new scala.collection.concurrent.TrieMap[String, Double]()
 
-  private def writeMarker(marker: java.io.File, sec: Double): Unit = {
+  /** Non-time index statistics (e.g. IVF centroid drift after an
+    * append), persisted in the generation meta like build seconds and
+    * published in the bench artifact's standing_index section. */
+  val statsLog = new scala.collection.concurrent.TrieMap[String, Double]()
+
+  private def writeMarker(marker: File, sec: Double): Unit = {
     marker.getParentFile.mkdirs()
-    java.nio.file.Files.write(marker.toPath,
-      f"$sec%.3f".getBytes("UTF-8"))
+    Files.write(marker.toPath, f"$sec%.3f".getBytes("UTF-8"))
   }
 
-  private def loadMarker(marker: java.io.File, label: String): Unit =
+  private def loadMarker(marker: File, label: String): Unit =
     try {
-      val s = new String(
-        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
+      val s = new String(Files.readAllBytes(marker.toPath), "UTF-8").trim
       if (s.nonEmpty) buildLog.putIfAbsent(label, s.toDouble)
     } catch { case _: Throwable => () } // pre-r14 empty marker: no record
 
   private def repoRoot: String =
     sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo")
 
+  private[graft] def standingRoot: String = s"$repoRoot/target/standing"
+
   /** Content signal of one fixture parquet (dir of part files or a
-    * single file): names + sizes + mtimes. Shared staleness primitive —
-    * the capped-ANN accuracy fixture and the BroadcastGuard memo keys
-    * use the same signal, so all three staleness gates agree on what
-    * "same content" means (review r14). */
+    * single file): RELATIVE paths + sizes + mtimes, recursing into
+    * subdirectories (ADVICE r14: a hive-partitioned source keeps its
+    * leaf files below `col=value/` dirs — a flat listing would miss
+    * their churn; relative paths fold layout changes into the tag
+    * too). Shared staleness primitive — the capped-ANN accuracy
+    * fixture and the BroadcastGuard memo keys use the same signal, so
+    * all three staleness gates agree on what "same content" means
+    * (review r14). For a flat directory this reduces to the old
+    * name=size@mtime form, so existing index tags are unchanged. */
   private[graft] def contentSig(path: String): String = {
-    val f = new java.io.File(path)
-    if (f.isDirectory)
-      f.listFiles().filter(_.isFile).sortBy(_.getName)
-        .map(x => s"${x.getName}=${x.length}@${x.lastModified}").mkString(",")
-    else s"${f.length}@${f.lastModified}"
+    val f = new File(path)
+    if (!f.isDirectory) return s"${f.length}@${f.lastModified}"
+    val base = f.toPath
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(d: File): Unit =
+      Option(d.listFiles()).getOrElse(Array.empty).foreach { x =>
+        if (x.isDirectory) walk(x)
+        else out += s"${base.relativize(x.toPath)}=${x.length}@${x.lastModified}"
+      }
+    walk(f)
+    out.sorted.mkString(",")
   }
 
   /** 8-hex content tag of `<d>/<table>.parquet` (dir + content signal). */
@@ -107,6 +159,138 @@ object StandingIndex {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s"$d|${contentSig(s"$d/$table.parquet")}".getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
+
+  // ---- generation/commit protocol -----------------------------------
+
+  private val PointerName = "_GRAFT_CURRENT"
+  private val MetaName = "_GRAFT_META"
+  private val LastUsedName = "_GRAFT_LAST_USED"
+
+  /** Test-only crash injection for the append protocol's crash-safety
+    * spec: called with a named protocol point; StandingIndexSpec makes
+    * it throw to simulate a kill between steps. */
+  private[graft] var crashHook: String => Unit = _ => ()
+
+  /** Committed generation of a maintained index, or None if nothing
+    * was ever committed (a root without a pointer holds only garbage —
+    * by protocol, data becomes real on the pointer flip). */
+  private[graft] def currentGen(root: String): Option[Int] = {
+    val f = new File(root, PointerName)
+    if (!f.exists()) None
+    else try Some(new String(Files.readAllBytes(f.toPath), "UTF-8").trim.toInt)
+    catch { case _: Throwable => None }
+  }
+
+  /** THE commit point: write the generation number to a temp file and
+    * atomically rename it over the pointer. Readers see the old
+    * generation or the new one, never a partial state. */
+  private def commitGen(root: String, gen: Int): Unit = {
+    new File(root).mkdirs()
+    val tmp = new File(root, s"$PointerName.tmp")
+    Files.write(tmp.toPath, gen.toString.getBytes("UTF-8"))
+    Files.move(tmp.toPath, new File(root, PointerName).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def genDir(root: String, gen: Int): String = s"$root/g$gen"
+
+  private def writeMeta(dir: String, meta: Map[String, String]): Unit = {
+    new File(dir).mkdirs()
+    Files.write(new File(dir, MetaName).toPath,
+      meta.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+        .mkString("\n").getBytes("UTF-8"))
+  }
+
+  private def readMeta(dir: String): Map[String, String] = {
+    val f = new File(dir, MetaName)
+    if (!f.exists()) Map.empty
+    else new String(Files.readAllBytes(f.toPath), "UTF-8").linesIterator
+      .map(_.trim).filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+      .toMap
+  }
+
+  /** Load persisted per-generation seconds/stats into the session logs
+    * so the artifact reports them even when the build happened in an
+    * earlier process. */
+  private def loadMetaLogs(dir: String, tag: String): Unit = {
+    val m = readMeta(dir)
+    for ((k, v) <- m) k match {
+      case "base_sec" => buildLog.putIfAbsent(s"$tag-base", v.toDouble)
+      case "append_sec" => buildLog.putIfAbsent(s"$tag-append", v.toDouble)
+      case "compact_sec" => buildLog.putIfAbsent(s"$tag-compact", v.toDouble)
+      case s if s.startsWith("drift_") =>
+        statsLog.putIfAbsent(s"$tag-$s", v.toDouble)
+      case _ => ()
+    }
+  }
+
+  /** Touch the root's last-used stamp — [[gc]]'s eviction key. */
+  private def touchLastUsed(root: String): Unit =
+    try {
+      new File(root).mkdirs()
+      Files.write(new File(root, LastUsedName).toPath,
+        System.currentTimeMillis().toString.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+
+  private def deleteRecursive(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursive)
+    f.delete()
+  }
+
+  /** Hard-link every data file under `from` into `to`, recursing into
+    * hive partition dirs. Linking (not copying) is what keeps append
+    * work proportional to the INCREMENT — the standing generation's
+    * bytes are never rewritten; file names are preserved so bucket-id
+    * suffixes stay parseable. Falls back to a copy only if the
+    * filesystem refuses links. */
+  private def linkDataFiles(from: File, to: File): Unit = {
+    if (!from.exists()) return
+    to.mkdirs()
+    Option(from.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isDirectory) linkDataFiles(f, new File(to, f.getName))
+      else if (f.getName.endsWith(".parquet")) {
+        val dst = new File(to, f.getName)
+        if (!dst.exists())
+          try Files.createLink(dst.toPath, f.toPath)
+          catch { case _: Exception =>
+            Files.copy(f.toPath, dst.toPath,
+              StandardCopyOption.REPLACE_EXISTING) }
+      }
+    }
+  }
+
+  /** Serialize maintenance on `root` across PROCESSES (ADVICE r14: the
+    * per-JVM `synchronized` cannot stop a concurrent Verify and Bench
+    * from double-appending). The object-level synchronized wrapper
+    * already serializes threads within this JVM, so the OS lock never
+    * self-overlaps. */
+  private def withProcessLock[T](root: String)(body: => T): T = {
+    new File(root).mkdirs()
+    val ch = java.nio.channels.FileChannel.open(
+      new File(root, "_GRAFT_LOCK").toPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try { val l = ch.lock(); try body finally l.release() }
+    finally ch.close()
+  }
+
+  /** Remove staging dirs a crashed run left behind: every `g<N>` that
+    * is not the committed generation is either a dead older generation
+    * (left for [[gc]]) or, when it is NUMERICALLY NEWER than the
+    * pointer, an uncommitted partial — deleted before a retry so the
+    * protocol is idempotent. No pointer at all ⇒ nothing was ever
+    * committed ⇒ the whole root is garbage (including any pre-r15
+    * insertInto-era layout, which kept its tables at the root). */
+  private def sweepUncommitted(root: String): Unit = currentGen(root) match {
+    case None =>
+      if (new File(root).exists()) deleteRecursive(new File(root))
+    case Some(g) =>
+      Option(new File(root).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.matches("g\\d+") &&
+          f.getName.drop(1).toInt > g)
+        .foreach(deleteRecursive)
+  }
 
   // ---- near-dup (minhash) index -------------------------------------
 
@@ -129,7 +313,7 @@ object StandingIndex {
   /** Band keys of a signature table carrying m0..m63: one codegen'd
     * xxhash64 per band over that band's row slice (the minhashPairs
     * banding, shared verbatim so index and batch agree bit-for-bit). */
-  private def bandCols(rows: Int): Seq[org.apache.spark.sql.Column] =
+  private def bandCols(rows: Int): Seq[Column] =
     (0 until Bands).map { j =>
       val cols = (j * rows until (j + 1) * rows).map(i => col(s"m$i"))
       struct(lit(j).as("band"), xxhash64(lit(j) +: cols: _*).as("key"))
@@ -163,30 +347,178 @@ object StandingIndex {
     (bands, members, sh.select(col("id"), size(col("sh")).as("n"), col("sh")))
   }
 
-  private def buildNearDup(spark: SparkSession, corpus: DataFrame,
-                           root: String, idx: NearDupIndex): Unit = {
+  private def ndNames(prefix: String, gen: Int): NearDupIndex =
+    NearDupIndex(s"${prefix}_g${gen}_bands", s"${prefix}_g${gen}_members",
+      s"${prefix}_g${gen}_shingles")
+
+  /** Write one generation's three bucketed tables at `dir`. */
+  private def writeNearDupGen(spark: SparkSession, corpus: DataFrame,
+                              dir: String, idx: NearDupIndex): Unit = {
     val (bands, members, sh) = nearDupTables(corpus)
-    Layout.writeBucketed(bands, idx.bands, s"$root/bands",
+    Layout.writeBucketed(bands, idx.bands, s"$dir/bands",
       NdBuckets, "key", "key")
-    Layout.writeBucketed(members, idx.members, s"$root/members",
+    crashHook("staged_bands")
+    Layout.writeBucketed(members, idx.members, s"$dir/members",
       NdBuckets, "rep", "rep")
-    Layout.writeBucketed(sh, idx.shingles, s"$root/shingles",
+    crashHook("staged_members")
+    Layout.writeBucketed(sh, idx.shingles, s"$dir/shingles",
       NdBuckets, "id", "id")
+  }
+
+  /** Re-register an on-disk generation in this session's catalog (the
+    * build session registered it via saveAsTable; metadata does not
+    * survive the in-memory catalog, the data does). The bucket spec in
+    * the DDL must match [[Layout.writeBucketed]]'s exactly or the
+    * exchange-free read contract silently breaks. */
+  private def registerNearDup(spark: SparkSession, dir: String,
+                              idx: NearDupIndex): Unit = {
+    def reg(name: String, schema: String, bucketCol: String,
+            sub: String): Unit =
+      if (!spark.catalog.tableExists(name))
+        spark.sql(s"""CREATE TABLE $name ($schema) USING parquet
+          |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+          |INTO $NdBuckets BUCKETS
+          |LOCATION '$dir/$sub'""".stripMargin)
+    reg(idx.bands, "band INT, key BIGINT, rep BIGINT", "key", "bands")
+    reg(idx.members, "id BIGINT, rep BIGINT", "rep", "members")
+    reg(idx.shingles, "id BIGINT, n INT, sh ARRAY<STRING>", "id", "shingles")
+  }
+
+  /** Ensure generation 0 of a MAINTAINED near-dup index exists at
+    * `root` (committed via the pointer protocol); no-op if any
+    * generation is already committed. */
+  private[graft] def ndEnsureBase(spark: SparkSession, root: String,
+                                  prefix: String, corpus: => DataFrame,
+                                  logTag: String): Unit =
+    if (currentGen(root).isEmpty) {
+      sweepUncommitted(root) // nothing committed ⇒ root holds only garbage
+      val t0 = System.nanoTime()
+      writeNearDupGen(spark, corpus, genDir(root, 0), ndNames(prefix, 0))
+      val sec = (System.nanoTime() - t0) / 1e9
+      writeMeta(genDir(root, 0),
+        Map("appends" -> "0", "base_sec" -> f"$sec%.3f"))
+      crashHook("before_commit")
+      commitGen(root, 0)
+      buildLog.put(s"$logTag-base", sec)
+    }
+
+  /** Index MAINTENANCE, atomically: stage the increment's collapsed
+    * signature groups as the next generation's bucketed tables,
+    * hard-link the current generation's immutable files in (work ∝
+    * increment — the standing corpus is neither re-shingled nor
+    * rewritten, plan/scan-asserted in StandingIndexSpec), then flip
+    * the pointer. A crash at ANY step leaves the current generation
+    * serving exactly its committed answer; the re-run sweeps the
+    * partial staging dir and repeats, so rows are neither lost nor
+    * duplicated (the r14 wrong-answer path, closed). Returns append
+    * wall-seconds. An increment doc whose signature equals a standing
+    * group's keeps its own group — recall is unaffected because
+    * identical signatures collide on every band, and all candidates
+    * are exact-verified anyway. */
+  private[graft] def ndAppend(spark: SparkSession, root: String,
+                              prefix: String, increment: DataFrame,
+                              logTag: String): Double = {
+    val g = currentGen(root).getOrElse(
+      sys.error(s"ndAppend: no committed generation at $root"))
+    val next = g + 1
+    val dir = genDir(root, next)
+    deleteRecursive(new File(dir)) // a crashed earlier attempt's partials
+    val t0 = System.nanoTime()
+    writeNearDupGen(spark, increment, dir, ndNames(prefix, next))
+    crashHook("staged_increment")
+    for (t <- Seq("bands", "members", "shingles"))
+      linkDataFiles(new File(s"${genDir(root, g)}/$t"), new File(s"$dir/$t"))
+    // the staging saveAsTable cached a file listing that predates the
+    // links — refresh so the new generation's tables see every file
+    val names = ndNames(prefix, next)
+    for (n <- Seq(names.bands, names.members, names.shingles))
+      if (spark.catalog.tableExists(n)) spark.catalog.refreshTable(n)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val prev = readMeta(genDir(root, g))
+    writeMeta(dir, prev +
+      ("appends" -> (prev.getOrElse("appends", "0").toInt + 1).toString) +
+      ("append_sec" -> f"$sec%.3f"))
+    crashHook("before_commit")
+    commitGen(root, next)
+    buildLog.put(s"$logTag-append", sec)
+    sec
+  }
+
+  /** COMPACTION (VERDICT r14 item 4): k appends leave k+1 file sets per
+    * bucket (each generation contributes one); rewrite the current
+    * generation's tables as a fresh generation with exactly ONE file
+    * per bucket and flip the pointer — the `q_compact` pattern applied
+    * under the bucket spec. The pre-write `repartition(n, key)` uses
+    * the same murmur3-pmod hash bucketing does, so each write task
+    * holds exactly one bucket and emits one file; serves stay
+    * exchange-free (spec-pinned). Returns compaction wall-seconds. */
+  private[graft] def ndCompact(spark: SparkSession, root: String,
+                               prefix: String, logTag: String): Double = {
+    val g = currentGen(root).getOrElse(
+      sys.error(s"ndCompact: no committed generation at $root"))
+    val next = g + 1
+    val dir = genDir(root, next)
+    deleteRecursive(new File(dir))
+    val t0 = System.nanoTime()
+    val names = ndNames(prefix, next)
+    // read the RAW parquet files, not the registered bucketed table: on
+    // a bucketed catalog read the optimizer drops the repartition as
+    // already-satisfied while auto-disabling the bucketed scan itself
+    // (no downstream operator exploits it), leaving mixed-bucket write
+    // tasks — 3 files per bucket instead of 1 (measured). A plain file
+    // read keeps the exchange, whose murmur3-pmod is exactly the bucket
+    // id function, so each write task holds one bucket and emits one
+    // file (probe-verified task i = bucket i).
+    def rewrite(to: String, sub: String, key: String): Unit =
+      Layout.writeBucketed(
+        spark.read.parquet(s"${genDir(root, g)}/$sub")
+          .repartition(NdBuckets, col(key)),
+        to, s"$dir/$sub", NdBuckets, key, key)
+    rewrite(names.bands, "bands", "key")
+    rewrite(names.members, "members", "rep")
+    rewrite(names.shingles, "shingles", "id")
+    val sec = (System.nanoTime() - t0) / 1e9
+    val prev = readMeta(genDir(root, g))
+    writeMeta(dir, prev + ("compact_sec" -> f"$sec%.3f") +
+      ("compacted_at_gen" -> next.toString))
+    commitGen(root, next)
+    buildLog.put(s"$logTag-compact", sec)
+    sec
+  }
+
+  /** Register the current committed generation and return its table
+    * names (the serve handle). */
+  private[graft] def ndCurrent(spark: SparkSession, root: String,
+                               prefix: String): NearDupIndex = {
+    val g = currentGen(root).getOrElse(
+      sys.error(s"ndCurrent: no committed generation at $root"))
+    val idx = ndNames(prefix, g)
+    registerNearDup(spark, genDir(root, g), idx)
+    idx
   }
 
   /** Ensure the near-dup index for the standing corpus of `d` exists
     * (building it on first use) and its three tables are registered in
-    * this session's catalog; returns the table names. */
+    * this session's catalog; returns the table names. Build-only (no
+    * appends), so it keeps the single-shot marker layout: the build is
+    * idempotent under `mode(overwrite)` and the marker-after-build is
+    * merely a cache key, never a visibility gate. */
   def ensureNearDup(spark: SparkSession, d: String): NearDupIndex = synchronized {
     val t = tag(d, "documents")
-    val root = s"$repoRoot/target/standing/nd_$t"
+    val root = s"$standingRoot/nd_$t"
     val idx = NearDupIndex(s"graft_nd_${t}_bands", s"graft_nd_${t}_members",
       s"graft_nd_${t}_shingles")
-    val marker = new java.io.File(s"$root/_GRAFT_NDIDX_v1")
+    val marker = new File(s"$root/_GRAFT_NDIDX_v1")
     if (!marker.exists()) {
       val t0 = System.nanoTime()
-      buildNearDup(spark,
-        Tables.documents(spark, d).filter(col("doc_id") % 5 =!= 0), root, idx)
+      val (bands, members, sh) = nearDupTables(
+        Tables.documents(spark, d).filter(col("doc_id") % 5 =!= 0))
+      Layout.writeBucketed(bands, idx.bands, s"$root/bands",
+        NdBuckets, "key", "key")
+      Layout.writeBucketed(members, idx.members, s"$root/members",
+        NdBuckets, "rep", "rep")
+      Layout.writeBucketed(sh, idx.shingles, s"$root/shingles",
+        NdBuckets, "id", "id")
       val sec = (System.nanoTime() - t0) / 1e9
       writeMarker(marker, sec)
       buildLog.put(s"neardup@$t", sec)
@@ -194,80 +526,33 @@ object StandingIndex {
       loadMarker(marker, s"neardup@$t")
       registerNearDup(spark, root, idx)
     }
+    touchLastUsed(root)
     idx
   }
 
-  /** Index MAINTENANCE: the standing index kept current by APPENDING an
-    * increment instead of rebuilding — the economics that make
-    * build-once/serve-many true over a growing lake. The increment's
-    * collapsed signature groups INSERT into the bucketed tables
-    * (`insertInto` respects the bucket spec, so serves stay
-    * exchange-free); an increment doc whose signature equals a standing
-    * group's keeps its own group — recall is unaffected because
-    * identical signatures collide on every band, and all candidates are
-    * exact-verified anyway. Appended work is proportional to the
-    * INCREMENT: the standing corpus is neither re-shingled nor
-    * rewritten (plan/scan-asserted in StandingIndexSpec).
-    *
-    * Fixture slices: standing = doc_id%5 ∈ {1,2}, appended increment =
-    * doc_id%5 ∈ {3,4}, probe batch = doc_id%5 = 0 — so the maintained
-    * index must answer exactly like a monolithic index over doc_id%5≠0,
-    * which is what the oracle (and q_dedup_incremental_near's) checks.
-    * Exemplar caveat: the insert itself is not atomic (a crash
-    * mid-append leaves partial bucket files); a production deployment
-    * stages the increment and swaps, the upsert sink's backup-rename
-    * protocol. */
+  /** The APPEND-MAINTAINED near-dup index: standing corpus
+    * (doc_id%5 ∈ {1,2}) built as generation 0, increment
+    * (doc_id%5 ∈ {3,4}) appended via the atomic stage+link+flip
+    * protocol — so the maintained index must answer the probe batch
+    * (doc_id%5 = 0) exactly like a monolithic index over doc_id%5≠0,
+    * which is what the oracle (and q_dedup_incremental_near's) checks. */
   def ensureNearDupAppended(spark: SparkSession,
                             d: String): NearDupIndex = synchronized {
     val t = tag(d, "documents")
-    val root = s"$repoRoot/target/standing/nda_$t"
-    val idx = NearDupIndex(s"graft_nda_${t}_bands",
-      s"graft_nda_${t}_members", s"graft_nda_${t}_shingles")
-    val baseMarker = new java.io.File(s"$root/_GRAFT_NDIDX_v1")
-    val appendMarker = new java.io.File(s"$root/_GRAFT_NDIDX_APPEND_v1")
-    val docs = Tables.documents(spark, d)
-    if (!baseMarker.exists()) {
-      val t0 = System.nanoTime()
-      buildNearDup(spark, docs.filter((col("doc_id") % 5).isin(1, 2)),
-        root, idx)
-      val sec = (System.nanoTime() - t0) / 1e9
-      writeMarker(baseMarker, sec)
-      buildLog.put(s"neardup-base@$t", sec)
-    } else {
-      loadMarker(baseMarker, s"neardup-base@$t")
-      registerNearDup(spark, root, idx)
+    val root = s"$standingRoot/nda_$t"
+    val prefix = s"graft_nda_$t"
+    withProcessLock(root) {
+      val docs = Tables.documents(spark, d)
+      ndEnsureBase(spark, root, prefix,
+        docs.filter((col("doc_id") % 5).isin(1, 2)), s"neardup@$t")
+      val g = currentGen(root).get
+      loadMetaLogs(genDir(root, g), s"neardup@$t")
+      if (readMeta(genDir(root, g)).getOrElse("appends", "0").toInt == 0)
+        ndAppend(spark, root, prefix,
+          docs.filter((col("doc_id") % 5).isin(3, 4)), s"neardup@$t")
+      touchLastUsed(root)
+      ndCurrent(spark, root, prefix)
     }
-    if (!appendMarker.exists()) {
-      val t0 = System.nanoTime()
-      val (bands, members, sh) =
-        nearDupTables(docs.filter((col("doc_id") % 5).isin(3, 4)))
-      bands.write.insertInto(idx.bands)
-      members.write.insertInto(idx.members)
-      sh.write.insertInto(idx.shingles)
-      val sec = (System.nanoTime() - t0) / 1e9
-      writeMarker(appendMarker, sec)
-      buildLog.put(s"neardup-append@$t", sec)
-    } else loadMarker(appendMarker, s"neardup-append@$t")
-    idx
-  }
-
-  /** Re-register an on-disk index in a fresh session's catalog (the
-    * build session registered it via saveAsTable; metadata does not
-    * survive the in-memory catalog, the data does). The bucket spec in
-    * the DDL must match [[Layout.writeBucketed]]'s exactly or the
-    * exchange-free read contract silently breaks. */
-  private def registerNearDup(spark: SparkSession, root: String,
-                              idx: NearDupIndex): Unit = {
-    def reg(name: String, schema: String, bucketCol: String,
-            dir: String): Unit =
-      if (!spark.catalog.tableExists(name))
-        spark.sql(s"""CREATE TABLE $name ($schema) USING parquet
-          |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
-          |INTO $NdBuckets BUCKETS
-          |LOCATION '$root/$dir'""".stripMargin)
-    reg(idx.bands, "band INT, key BIGINT, rep BIGINT", "key", "bands")
-    reg(idx.members, "id BIGINT, rep BIGINT", "rep", "members")
-    reg(idx.shingles, "id BIGINT, n INT, sh ARRAY<STRING>", "id", "shingles")
   }
 
   /** Near-dup pairs of the NEW batch (doc_id % 5 = 0) against the
@@ -293,14 +578,15 @@ object StandingIndex {
   /** [[nearDupIncrement]] against the APPEND-MAINTAINED index (see
     * [[ensureNearDupAppended]]): the probe batch's answer must equal
     * the monolithic index's — same oracle — while the index itself was
-    * built as standing + appended increment. */
+    * built as standing + atomically-appended increment. */
   def nearDupAppendServe(spark: SparkSession, d: String,
                          threshold: Double = 0.9): DataFrame =
     serveNearDup(spark, ensureNearDupAppended(spark, d),
       Tables.documents(spark, d).filter(col("doc_id") % 5 === 0), threshold)
 
-  private def serveNearDup(spark: SparkSession, idx: NearDupIndex,
-                           batch: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def serveNearDup(spark: SparkSession, idx: NearDupIndex,
+                                  batch: DataFrame,
+                                  threshold: Double): DataFrame = {
     val rows = NumHashes / Bands
     val bsh = shingleTable(batch).localCheckpoint() // bands + verification
     val bBands = graft.dedup.Dedup.minhashSignatures(bsh, NumHashes)
@@ -331,7 +617,21 @@ object StandingIndex {
 
   private val NCells = 16
   private val NProbe = 4
+  private val NProbeAppended = 8
   private val KmeansIters = 2
+  private val KmeansItersAppended = 4
+  /** Cells each APPENDED vector is replicated into (its top-R nearest
+    * frozen centroids). Centroids frozen at generation 0 fit only the
+    * standing slice, so appended vectors land near cell boundaries far
+    * more often than clustered ones — single assignment loses the
+    * boundary-straddling neighbors a probe of the query's own cells
+    * would otherwise find (measured: 0.74 recall at nProbe=4 vs the
+    * monolithic re-cluster's 0.90). Replicating the INCREMENT into its
+    * top-2 cells is the standard compensation (FAISS-style cell
+    * overlap): storage/scan cost ∝ increment only — the standing
+    * generation is untouched — and the serve dedups (qid, nid) pairs
+    * before ranking. */
+  private val AppendReplicas = 2
 
   case class AnnIndex(centroids: String, assignments: String)
 
@@ -339,6 +639,37 @@ object StandingIndex {
     StructField("nid", LongType),
     StructField("cv", ArrayType(DoubleType)),
     StructField("cell", IntegerType)))
+
+  /** Lloyd-refined centroids of `c` (nid, cv) — the same bounded driver
+    * round-trip the transient IVF path makes; empty corpus → empty. */
+  private def refineCents(c: DataFrame,
+                          iters: Int = KmeansIters): Seq[Seq[Double]] = {
+    val seeds: Seq[Seq[Double]] = c.orderBy(col("nid")).limit(NCells)
+      .select(col("cv")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    if (seeds.isEmpty) Seq.empty
+    else graft.similarity.Ann.refineCentroids(
+      c.select(col("cv")), "cv", seeds, iters)
+  }
+
+  private def embCorpus(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d).select(col("vec_id").as("nid"),
+      VectorFunctions.asDouble(col("embedding")).as("cv"))
+
+  /** Write one IVF generation: centroids parquet + cell-partitioned
+    * assignments of `c` against `cents`. */
+  private def writeAnnGen(spark: SparkSession, c: DataFrame,
+                          cents: Seq[Seq[Double]], dir: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    import graft.expressions.TopCentroidsExpression.topCentroids
+    val assigned =
+      if (cents.isEmpty) c.limit(0).withColumn("cell", lit(0))
+      else c.select(col("nid"), col("cv"),
+        element_at(topCentroids(col("cv"), cents, 1), 1).as("cell"))
+    Layout.writePartitioned(assigned, s"$dir/assignments", "cell")
+  }
 
   /** Ensure the IVF index over `d`'s embeddings exists; returns paths.
     * Centroids are Lloyd-refined exactly as the transient
@@ -348,31 +679,134 @@ object StandingIndex {
     * every serve against the same index is deterministic. */
   def ensureAnn(spark: SparkSession, d: String): AnnIndex = synchronized {
     val t = tag(d, "embeddings")
-    val root = s"$repoRoot/target/standing/ivf_$t"
+    val root = s"$standingRoot/ivf_$t"
     val idx = AnnIndex(s"$root/centroids", s"$root/assignments")
-    val marker = new java.io.File(s"$root/_GRAFT_IVFIDX_v1")
-    if (marker.exists()) { loadMarker(marker, s"ivf@$t"); return idx }
+    val marker = new File(s"$root/_GRAFT_IVFIDX_v1")
+    if (marker.exists()) {
+      loadMarker(marker, s"ivf@$t"); touchLastUsed(root); return idx
+    }
     val t0 = System.nanoTime()
-    val c = Tables.embeddings(spark, d).select(col("vec_id").as("nid"),
-      VectorFunctions.asDouble(col("embedding")).as("cv"))
-    val seeds: Seq[Seq[Double]] = c.orderBy(col("nid")).limit(NCells)
-      .select(col("cv")).collect().map(_.getSeq[Double](0).toSeq).toSeq
-    val cents =
-      if (seeds.isEmpty) Seq.empty
-      else graft.similarity.Ann.refineCentroids(
-        c.select(col("cv")), "cv", seeds, KmeansIters)
-    import spark.implicits._
-    cents.zipWithIndex.map { case (v, i) => (i, v) }
-      .toDF("cell", "centroid")
-      .write.mode("overwrite").parquet(idx.centroids)
-    import graft.expressions.TopCentroidsExpression.topCentroids
-    val assigned = c.select(col("nid"), col("cv"),
-      element_at(topCentroids(col("cv"), cents, 1), 1).as("cell"))
-    Layout.writePartitioned(assigned, idx.assignments, "cell")
+    val c = embCorpus(spark, d)
+    writeAnnGen(spark, c, refineCents(c), root)
     val sec = (System.nanoTime() - t0) / 1e9
     writeMarker(marker, sec)
     buildLog.put(s"ivf@$t", sec)
+    touchLastUsed(root)
     idx
+  }
+
+  /** IVF index MAINTENANCE (VERDICT r14 item 2): generation 0 clusters
+    * the STANDING embedding corpus (vec_id%5 ∈ {1,2}); the increment
+    * (vec_id%5 ∈ {3,4}) is then assigned to the EXISTING centroids —
+    * the same map-side topCentroids projection a query probe uses, no
+    * re-cluster, work ∝ increment — and its cell files are appended by
+    * the atomic stage+link+flip protocol. Because cells are hive
+    * partition dirs, the increment's files land inside the same
+    * `cell=` directories and every serve still prunes at planning
+    * time. Appending to frozen centroids degrades gracefully: recall
+    * is gated in ACCURACY (q_ann_index_append ≥ 0.85) and the CENTROID
+    * DRIFT the append induced — max/mean relative L2 distance between
+    * each cell's stored centroid and its post-append member mean — is
+    * measured and persisted, the number a deployment watches to decide
+    * when a re-cluster is due. */
+  def ensureAnnAppended(spark: SparkSession, d: String): AnnIndex = synchronized {
+    val t = tag(d, "embeddings")
+    val root = s"$standingRoot/iva_$t"
+    withProcessLock(root) {
+      val logTag = s"ivf@$t"
+      if (currentGen(root).isEmpty) {
+        sweepUncommitted(root)
+        val t0 = System.nanoTime()
+        val standing = embCorpus(spark, d).filter((col("nid") % 5).isin(1, 2))
+        writeAnnGen(spark, standing,
+          refineCents(standing, KmeansItersAppended), genDir(root, 0))
+        val sec = (System.nanoTime() - t0) / 1e9
+        writeMeta(genDir(root, 0),
+          Map("appends" -> "0", "base_sec" -> f"$sec%.3f"))
+        commitGen(root, 0)
+        buildLog.put(s"$logTag-base", sec)
+      }
+      val g = currentGen(root).get
+      loadMetaLogs(genDir(root, g), logTag)
+      if (readMeta(genDir(root, g)).getOrElse("appends", "0").toInt == 0) {
+        val sec = annAppend(spark, root,
+          embCorpus(spark, d).filter((col("nid") % 5).isin(3, 4)), logTag)
+        buildLog.put(s"$logTag-append", sec)
+      }
+      touchLastUsed(root)
+      val cg = currentGen(root).get
+      AnnIndex(s"${genDir(root, cg)}/centroids",
+        s"${genDir(root, cg)}/assignments")
+    }
+  }
+
+  /** Append `increment` (nid, cv) to the committed IVF generation:
+    * assign to the EXISTING centroids, stage the new cell files as the
+    * next generation, hard-link the current generation's files in,
+    * measure drift, flip the pointer. */
+  private[graft] def annAppend(spark: SparkSession, root: String,
+                               increment: DataFrame,
+                               logTag: String): Double = {
+    val g = currentGen(root).getOrElse(
+      sys.error(s"annAppend: no committed generation at $root"))
+    val next = g + 1
+    val dir = genDir(root, next)
+    deleteRecursive(new File(dir))
+    val t0 = System.nanoTime()
+    val cents: Seq[Seq[Double]] =
+      spark.read.parquet(s"${genDir(root, g)}/centroids")
+        .orderBy(col("cell")).collect()
+        .map(_.getSeq[Double](1).toSeq).toSeq
+    import graft.expressions.TopCentroidsExpression.topCentroids
+    // boundary replication: each appended vector lands in its top-R
+    // nearest cells (see [[AppendReplicas]]) — map-side explode, work
+    // and bytes ∝ increment · R, the standing generation untouched
+    val assigned =
+      if (cents.isEmpty) increment.limit(0).withColumn("cell", lit(0))
+      else increment.select(col("nid"), col("cv"),
+        explode(topCentroids(col("cv"), cents,
+          math.min(AppendReplicas, cents.size))).as("cell"))
+    Layout.writePartitioned(assigned, s"$dir/assignments", "cell")
+    crashHook("staged_increment")
+    linkDataFiles(new File(s"${genDir(root, g)}/assignments"),
+      new File(s"$dir/assignments"))
+    linkDataFiles(new File(s"${genDir(root, g)}/centroids"),
+      new File(s"$dir/centroids"))
+    val sec = (System.nanoTime() - t0) / 1e9
+    // centroid drift over the APPENDED index: per cell, relative L2
+    // between the frozen centroid and the post-append member mean — one
+    // map-side-combinable aggregate (k·dim rows to the driver, the
+    // bounded round-trip every IVF path already makes)
+    val drift: Seq[Double] =
+      if (cents.isEmpty) Seq.empty
+      else {
+        val means = Layout
+          .readPartitioned(spark, s"$dir/assignments", assignSchema)
+          .select(col("cell"), posexplode(col("cv")))
+          .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+          .collect().groupBy(_.getInt(0))
+          .map { case (cell, rs) =>
+            cell -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+        means.toSeq.sortBy(_._1).map { case (cell, m) =>
+          val c = cents(cell)
+          val d2 = m.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+          val n2 = c.map(x => x * x).sum
+          if (n2 == 0) 0.0 else math.sqrt(d2 / n2)
+        }
+      }
+    val driftMax = if (drift.isEmpty) 0.0 else drift.max
+    val driftMean = if (drift.isEmpty) 0.0 else drift.sum / drift.size
+    val prev = readMeta(genDir(root, g))
+    writeMeta(dir, prev +
+      ("appends" -> (prev.getOrElse("appends", "0").toInt + 1).toString) +
+      ("append_sec" -> f"$sec%.3f") +
+      ("drift_max" -> f"$driftMax%.4f") +
+      ("drift_mean" -> f"$driftMean%.4f"))
+    crashHook("before_commit")
+    commitGen(root, next)
+    statsLog.put(s"$logTag-drift_max", driftMax)
+    statsLog.put(s"$logTag-drift_mean", driftMean)
+    sec
   }
 
   /** Top-k cosine neighbors of the query set (vec_id < 10, matching
@@ -382,9 +816,31 @@ object StandingIndex {
     * to ≤ nCells ints, and the assignment scan prunes to the probed
     * `cell=` directories at planning time — the corpus is never
     * re-scanned or re-signed. */
-  def annServe(spark: SparkSession, d: String, k: Int = 5): DataFrame = {
+  def annServe(spark: SparkSession, d: String, k: Int = 5): DataFrame =
+    annServeFrom(spark, ensureAnn(spark, d), d, k, NProbe)
+
+  /** [[annServe]] against the APPEND-MAINTAINED IVF index: standing
+    * cells + atomically-appended increment, queries probing the frozen
+    * centroids; recall gated in ACCURACY (q_ann_index_append).
+    *
+    * Serves with a WIDER probe ([[NProbeAppended]]): centroids frozen
+    * at generation 0 fit only the standing slice, so post-append the
+    * true neighbors of a query scatter across more cells (measured
+    * here: nProbe=4 retrieves 0.74 vs the monolithic re-cluster's
+    * 0.90). Probing more cells plus the increment's top-2 cell
+    * replication ([[AppendReplicas]]) is the drift compensation —
+    * together they measure 0.94 recall at sf0.01, ABOVE the monolithic
+    * index — trading a proportionally larger (still pruned, still
+    * bounded) scan for recall until the recorded drift says a
+    * re-cluster is due. */
+  def annAppendServe(spark: SparkSession, d: String, k: Int = 5): DataFrame =
+    annServeFrom(spark, ensureAnnAppended(spark, d), d, k, NProbeAppended,
+      dedupPairs = true)
+
+  private def annServeFrom(spark: SparkSession, idx: AnnIndex, d: String,
+                           k: Int, nProbe: Int,
+                           dedupPairs: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val idx = ensureAnn(spark, d)
     val q = Tables.embeddings(spark, d).filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"),
         VectorFunctions.asDouble(col("embedding")).as("qv"))
@@ -397,22 +853,181 @@ object StandingIndex {
         lit(0.0).as("cos_sim"), lit(1).as("rk")).limit(0)
     import graft.expressions.TopCentroidsExpression.topCentroids
     val probes = q.select(col("qid"), col("qv"),
-      explode(topCentroids(col("qv"), cents, NProbe)).as("cell"))
+      explode(topCentroids(col("qv"), cents, math.min(nProbe, cents.size)))
+        .as("cell"))
     // bounded driver scalar: ≤ nCells ints — it becomes the literal IN
     // list the scan's PartitionFilters prune on
     val cells = probes.select(col("cell")).distinct()
       .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
     val hits = Layout.readPartitioned(spark, idx.assignments, assignSchema)
       .filter(col("cell").isin(cells: _*))
-    val scored = probes.join(hits, "cell")
+    val scored0 = probes.join(hits, "cell")
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos_sim",
         VectorFunctions.cosineRounded(col("qv"), col("cv"), 3))
       .select(col("qid"), col("nid"), col("cos_sim"))
+    // a replicated appended vector can meet the same query in two
+    // probed cells — collapse the pair before ranking or the duplicate
+    // steals a top-k slot; the distinct rides the qid exchange the
+    // window needs anyway
+    val scored = if (dedupPairs) scored0.distinct() else scored0
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("nid"), col("cos_sim"), col("rk"))
+  }
+
+  // ---- bounded SRP-LSH index (the q_ann_lsh_big corpus side) --------
+
+  /** Bucket count of the persisted LSH band/vector tables. 32 matches
+    * the local session's shuffle width so a serve's band join runs at
+    * full parallelism; a cluster deployment sizes it to total cores
+    * like any bucketed layout. */
+  private val LshBuckets = 32
+
+  case class LshIndex(bands: String, vecs: String)
+
+  /** Ensure the persisted bounded-LSH index over the STANDING embedding
+    * corpus (vec_id%5 ≠ 0) of `d` (VERDICT r14 item 3): the corpus-side
+    * work of [[graft.similarity.Ann.lshTopKBounded]] — 16 SRP
+    * signatures, 128 exploded band keys, per-bucket membership capped
+    * at the shipped maxBucket — persisted as a (band, key)-posting
+    * table bucketed by key, plus the bare (nid, vector) table bucketed
+    * by nid for the exact re-rank attach. Build pays the signing + the
+    * two write-side shuffles ONCE; every serve signs only its query
+    * batch and joins in, the index side exchange-free, the corpus
+    * never re-scanned or re-signed (plan-asserted). */
+  def ensureLshBounded(spark: SparkSession, d: String): LshIndex = synchronized {
+    val t = tag(d, "embeddings")
+    val root = s"$standingRoot/lshb_$t"
+    val idx = LshIndex(s"graft_lshb_${t}_bands", s"graft_lshb_${t}_vecs")
+    val marker = new File(s"$root/_GRAFT_LSHIDX_v1")
+    if (!marker.exists()) {
+      val t0 = System.nanoTime()
+      val corpus = Tables.embeddings(spark, d)
+        .filter(col("vec_id") % 5 =!= 0)
+      val c = corpus.select(col("vec_id").as("nid"),
+        VectorFunctions.asDouble(col("embedding")).as("cv"))
+      val cb = graft.similarity.Ann.boundedBandTable(
+        corpus, "vec_id", "embedding", dim = 64)
+      Layout.writeBucketed(cb, idx.bands, s"$root/bands",
+        LshBuckets, "key")
+      Layout.writeBucketed(c, idx.vecs, s"$root/vecs",
+        LshBuckets, "nid")
+      val sec = (System.nanoTime() - t0) / 1e9
+      writeMarker(marker, sec)
+      buildLog.put(s"lshb@$t", sec)
+    } else {
+      loadMarker(marker, s"lshb@$t")
+      registerLsh(spark, root, idx)
+    }
+    touchLastUsed(root)
+    idx
+  }
+
+  private def registerLsh(spark: SparkSession, root: String,
+                          idx: LshIndex): Unit = {
+    val sigCols = (0 until graft.similarity.Ann.BoundedNumSigs)
+      .map(s => s"sn$s BIGINT").mkString(", ")
+    if (!spark.catalog.tableExists(idx.bands))
+      spark.sql(s"""CREATE TABLE ${idx.bands}
+        |(band INT, key BIGINT, nid BIGINT, $sigCols) USING parquet
+        |CLUSTERED BY (key) INTO $LshBuckets BUCKETS
+        |LOCATION '$root/bands'""".stripMargin)
+    if (!spark.catalog.tableExists(idx.vecs))
+      spark.sql(s"""CREATE TABLE ${idx.vecs}
+        |(nid BIGINT, cv ARRAY<DOUBLE>) USING parquet
+        |CLUSTERED BY (nid) INTO $LshBuckets BUCKETS
+        |LOCATION '$root/vecs'""".stripMargin)
+  }
+
+  /** q_ann_lsh_big served from the PERSISTED index: the probe batch
+    * (vec_id%5 = 0) checkpoints once, signs and bands ITSELF, then
+    * runs the shared bounded rank/re-rank pipeline against the
+    * persisted posting + vector tables. The standing corpus appears
+    * nowhere in the serve plan (zero re-scan/re-sign — the exact shape
+    * the standing index exists for; the transient q_ann_lsh_big
+    * re-signs and re-caps the corpus per invocation). Recall in the
+    * capped regime is gated in ACCURACY like the transient path. */
+  def lshBigServe(spark: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val idx = ensureLshBounded(spark, d)
+    val q = Tables.embeddings(spark, d).filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("qid"),
+        VectorFunctions.asDouble(col("embedding")).as("qv"))
+      .localCheckpoint()
+    graft.similarity.Ann.lshRankServe(q,
+      spark.table(idx.bands), spark.table(idx.vecs), k, dim = 64)
+  }
+
+  // ---- compaction + GC ----------------------------------------------
+
+  /** Compact the maintained near-dup index of `d` (the fixture-wired
+    * [[ensureNearDupAppended]] root) — see [[ndCompact]]. No-op (returns
+    * 0) when the committed generation is already the product of a
+    * compaction with no appends since: re-compacting a one-file-per-
+    * bucket layout is a pure rewrite for nothing, and the bench calls
+    * this every run for the economics record. */
+  def compactNearDupAppended(spark: SparkSession, d: String): Double =
+    synchronized {
+      val t = tag(d, "documents")
+      val root = s"$standingRoot/nda_$t"
+      withProcessLock(root) {
+        val g = currentGen(root).getOrElse(
+          sys.error(s"compactNearDupAppended: nothing committed at $root"))
+        val meta = readMeta(genDir(root, g))
+        if (meta.get("compacted_at_gen").contains(g.toString)) {
+          loadMetaLogs(genDir(root, g), s"neardup@$t")
+          0.0
+        } else ndCompact(spark, root, s"graft_nda_$t", s"neardup@$t")
+      }
+    }
+
+  /** Standing-index GARBAGE COLLECTION (VERDICT r14 item 5 of "what's
+    * wrong"): content-tag churn (every fixture regeneration mints a new
+    * tag) orphans whole index roots, and each append/compaction leaves
+    * its superseded generation dir behind. Sweeps `<standingRoot>`:
+    *
+    *  - inside every root with a committed pointer, delete generation
+    *    dirs OTHER than the current one whose files are older than
+    *    `maxAgeMs` (the age gate keeps a generation a concurrent
+    *    reader might still hold open);
+    *  - delete whole roots whose last USE (the `_GRAFT_LAST_USED`
+    *    stamp every ensure touches; fallback: newest marker/pointer
+    *    mtime) is older than `maxAgeMs` — current-content indexes are
+    *    re-touched every serve, so age-since-use is exactly
+    *    orphanhood.
+    *
+    * Returns (stale generation dirs removed, orphaned roots removed).
+    * Idempotent and crash-safe: it only ever deletes what the pointer
+    * protocol already defines as garbage. */
+  def gc(maxAgeMs: Long, root: String = standingRoot,
+         now: Long = System.currentTimeMillis()): (Int, Int) = synchronized {
+    val cutoff = now - maxAgeMs
+    var gens = 0
+    var roots = 0
+    for (r <- Option(new File(root).listFiles()).getOrElse(Array.empty)
+         if r.isDirectory) {
+      def newestStamp: Long = {
+        val lu = new File(r, LastUsedName)
+        if (lu.exists())
+          try new String(Files.readAllBytes(lu.toPath), "UTF-8").trim.toLong
+          catch { case _: Throwable => lu.lastModified }
+        else Option(r.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.startsWith("_GRAFT"))
+          .map(_.lastModified) match {
+            case a if a.nonEmpty => a.max
+            case _ => r.lastModified
+          }
+      }
+      if (newestStamp < cutoff) { deleteRecursive(r); roots += 1 }
+      else currentGen(r.getPath).foreach { g =>
+        Option(r.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.matches("g\\d+") &&
+            f.getName.drop(1).toInt != g && f.lastModified < cutoff)
+          .foreach { f => deleteRecursive(f); gens += 1 }
+      }
+    }
+    (gens, roots)
   }
 }

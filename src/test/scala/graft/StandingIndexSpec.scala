@@ -70,6 +70,36 @@ class StandingIndexSpec extends SparkSuite {
         "identical results")
   }
 
+  test("maintained + LSH indexes survive a fresh catalog with the DDL " +
+      "bucket contract intact") {
+    // r14 VERDICT stretch 8: registerNearDup/registerLsh re-create the
+    // tables with a hand-written CLUSTERED BY spec — if it drifts from
+    // Layout.writeBucketed's, the exchange-free contract silently
+    // breaks. Pin it: a fresh catalog must re-register and serve
+    // IDENTICAL results through a plan whose exchange count is
+    // unchanged (a lost bucket spec surfaces as an extra index-side
+    // exchange).
+    for ((q, prefix) <- Seq(
+        ("q_index_append", "graft_nda_"),
+        ("q_ann_lsh_big_persisted", "graft_lshb_"))) {
+      val before = SparkEntry.queries(q)(spark, sfDir)
+      val rows = before.collect().map(_.toString).sorted
+      val exchanges = countOccurrences(
+        before.queryExecution.executedPlan.toString, "Exchange")
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith(prefix))
+        .foreach(x => spark.sql(s"DROP TABLE ${x.name}"))
+      val after = SparkEntry.queries(q)(spark, sfDir)
+      assert(after.collect().map(_.toString).sorted.sameElements(rows),
+        s"$q: re-registered index must serve identical results")
+      assert(countOccurrences(
+          after.queryExecution.executedPlan.toString, "Exchange") ==
+        exchanges,
+        s"$q: re-registration changed the serve plan's exchange count " +
+          "- the DDL bucket spec drifted from Layout.writeBucketed's")
+    }
+  }
+
   test("ann serve prunes to probed cells and never re-scans the corpus") {
     val df = SparkEntry.queries("q_ann_persisted")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

@@ -472,4 +472,45 @@ class StreamingSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == Set((1L, 100L, 9.0)))
   }
+
+  test("streaming ingest vs the standing near-dup index: duplicate " +
+      "deliveries collapsed, exactly-once sink, answers equal the " +
+      "batch serve") {
+    import graft.streaming.{DocEvent, NearDupStream}
+    implicit val sq = spark.sqlContext
+    val root = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo") +
+      "/target/streamtest/neardup"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    // ground truth: the batch-mode serve of the SAME probe docs against
+    // the same standing index
+    val expected = SparkEntry.queries("q_dedup_incremental_near")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val probes = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(probes.length >= 4, "fixture must carry a probe batch")
+    def de(p: (Long, String), minute: Int) = DocEvent(p._1, p._2,
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"))
+    val (half1, half2) = probes.splitAt(probes.length / 2)
+    val in = MemoryStream[DocEvent]
+    val q = NearDupStream.start(spark, sfDir, in.toDF(),
+      s"$root/out", s"$root/ckpt")
+    // batch 1: first half, plus a duplicate delivery INSIDE the batch
+    in.addData(half1.map(de(_, 1)) :+ de(half1.head, 2): _*)
+    q.processAllAvailable()
+    // batch 2: second half, plus a RE-delivery of a batch-1 doc (within
+    // the watermark window — the stateful dedup must drop it, or its
+    // pairs would land twice across two batch_id partitions)
+    in.addData(half2.map(de(_, 3)) :+ de(half1.head, 4): _*)
+    q.processAllAvailable(); q.stop()
+    val sunk = spark.read.parquet(s"$root/out")
+      .select("doc_id", "dup_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sunk.length == sunk.distinct.length,
+      "duplicate pairs in the sink — a re-delivered doc was served twice")
+    assert(sunk.toSet == expected,
+      s"streaming serve diverges from the batch serve: " +
+        s"extra=${sunk.toSet -- expected}, missing=${expected -- sunk.toSet}")
+  }
 }
