@@ -201,6 +201,13 @@ object Bench {
     "q_dedup_semantic", "q_dup_clusters", "q_dedup_keep_best",
     "q_dedup_pipeline", "q_pipeline_full", "q_pipeline_report",
     "q_dedup_incremental_near", "q_ann_persisted",
+    // the r15 maintenance/persisted-serve family: their scale legs put
+    // the index economics in the record — run 1 at each point pays the
+    // build/append (landing in standing_index.builds_sec as
+    // -base/-append for the scaled tag, the build-vs-append record),
+    // min-of-N reports the amortized serve; q_ann_lsh_big_persisted's
+    // exponent is the serve-side answer to q_ann_lsh_big's heavy leg
+    "q_index_append", "q_ann_index_append", "q_ann_lsh_big_persisted",
     "q_dedup_minhash", "q_dedup_embed", "q_span_dedup",
     "q_pagerank", "q_kmeans", "q_bm25", "q_lm_surprisal",
     "q1_agg", "q_sort_global", "q_window_running", "q_join_smj",
