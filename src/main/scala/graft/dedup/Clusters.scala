@@ -49,16 +49,23 @@ object Clusters {
     // ids keep their own type: greatest/least/min and xxhash64 are
     // defined for any orderable column (a cast to long would silently
     // null out string ids)
+    //
+    // Materialized ONCE, up front: `edges` is typically the tail of a
+    // whole near-dup pipeline (shingle → signature → band join) whose
+    // cost dwarfs everything below. Both derived tables (the node set
+    // and the oriented edge set) used to carry their own eager
+    // localCheckpoint, which evaluated that pair lineage TWICE per
+    // query — the r15 profile showed q_dup_clusters at ~82 CPU-s vs
+    // q_dedup_minhash's ~30 for the identical pair stage.
     val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .localCheckpoint(true)
 
     // Every labeled node, kept aside so self-pair-only nodes still get a
-    // (singleton) component at the end. Materialized once: `edges` is
-    // typically the tail of a whole near-dup pipeline (shingle →
-    // signature → band join) that must not re-run per round.
+    // (singleton) component at the end. Derived lazily from the `raw`
+    // checkpoint — only consumed by the final label join.
     val nodes = raw.select(col("u").as("id"))
       .union(raw.select(col("v").as("id")))
       .distinct()
-      .localCheckpoint(true)
 
     // Orient big→small and drop self-loops; this is already the
     // invariant both star steps emit, so round 1 sees canonical input.
