@@ -33,20 +33,24 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures, explode-first: one row per (doc, shingle), then
-    * `min(xxhash64(shingle, i))` per doc for each of the k hash
-    * functions. Everything — split, hash, partial min — is codegen'd
-    * native functions inside one aggregation; cost is linear in total
-    * shingle count with map-side partial aggregation before the single
-    * exchange on doc id. (The tempting alternative, k×`array_min(
-    * transform(...))` inside one projection, evaluates interpreted
-    * lambdas per element and blows up when band keys duplicate the
-    * signature subtree — measured 40× slower.) */
+  /** MinHash signatures as ONE map-side native expression per doc
+    * ([[graft.expressions.MinHashSignature]]): the shingle string is
+    * hashed once and the k per-seed values derive from that 8-byte
+    * state — bit-identical to the explode + `min(xxhash64(g, i))`
+    * aggregate this replaces (MinHashSignatureSpec pins it), without
+    * re-hashing the string k times or pushing one row per (doc,
+    * shingle) through the aggregate machinery. No explode, no
+    * aggregation, no exchange: signatures are a projection, so the
+    * caller's partitioning flows through untouched. (Historical note:
+    * k×`array_min(transform(...))` in one projection was measured 40×
+    * slower than even the explode+agg form — interpreted lambdas per
+    * element; the native expression sidesteps both.) */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val exploded = sh.select(col("id"), explode(col("sh")).as("g"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(col("g"), lit(i))).as(s"m$i"))
-    exploded.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    val sig = sh.filter(size(col("sh")) > 0)
+      .select(col("id"), graft.expressions.MinHashSignatureExpression
+        .minhashSignature(col("sh"), numHashes).as("__ms"))
+    sig.select(col("id") +:
+      (0 until numHashes).map(i => col("__ms").getItem(i).as(s"m$i")): _*)
   }
 
   /** Candidate duplicate pairs via MinHash-LSH, verified with exact
