@@ -207,8 +207,13 @@ object Dedup {
     // partition and defers the size() projection to the per-PAIR stream —
     // measured 10-20× slower. At cluster scale the barrier is the right
     // plan anyway: an inverted-index join wants to shuffle on its key.
-    val inv = docs.select(col(idCol).as("id"),
-        TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
+    // The widen ahead of the shingle projection is the work-vs-bytes
+    // move (r15): without it the shingling itself runs inside the
+    // single-split fixture scan task; pass-through on a wide lake scan.
+    val inv = graft.Tables.widen(
+        docs.select(col(idCol).as("id"), col(textCol).as("gtxt")), col("id"))
+      .select(col("id"),
+        TextFunctions.shingles(col("gtxt"), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), size(col("sh")).as("n"), col("sh"))
       .repartition(col("id"))
@@ -327,8 +332,11 @@ object Dedup {
     * directions since containment is directional. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int, threshold: Double): DataFrame = {
-    val inv = docs.select(col(idCol).as("id"),
-        TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
+    // same widen-before-shingling as ngramJaccardPairs (work-vs-bytes)
+    val inv = graft.Tables.widen(
+        docs.select(col(idCol).as("id"), col(textCol).as("gtxt")), col("id"))
+      .select(col("id"),
+        TextFunctions.shingles(col("gtxt"), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), size(col("sh")).as("n"), col("sh"))
       .repartition(col("id"))

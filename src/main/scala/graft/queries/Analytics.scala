@@ -376,7 +376,11 @@ object Analytics {
     // sharing a gram ever pair (the q_contamination machinery lifted to
     // source granularity). -----------------------------------------------
     "q_source_overlap" -> ((s, d) => {
-      val grams = Tables.documents(s, d)
+      // work-vs-bytes: shingling otherwise runs in the single-split
+      // fixture scan task; widen on doc_id first (pass-through on a
+      // wide lake scan)
+      val grams = Tables.widen(Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text")), col("doc_id"))
         .select(col("source"),
           explode(graft.text.TextFunctions.shingles(col("text"), 5)).as("g"))
         .distinct()
@@ -418,7 +422,13 @@ object Analytics {
     // quality filtering uses when stddev is poisoned by the outliers
     // themselves.
     "q_mad" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      // work-vs-bytes: both percentile passes otherwise buffer every
+      // value inside the single-split scan task (r15: 2.1 s wall at
+      // ~2 busy cores); widen once — the identical exchange subtree is
+      // reused by both passes, and it is pass-through on a wide lake.
+      val li = Tables.widen(Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey")), col("l_orderkey"))
       val med = li.groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
       li.join(broadcast(med), "l_returnflag")
@@ -495,7 +505,11 @@ object Analytics {
     // the fact scans twice but never shuffles rows, only the clipped
     // aggregate. -----------------------------------------------------------
     "q_winsorize" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      // work-vs-bytes: same single-task percentile-buffer profile as
+      // q_mad — widen once, both passes reuse the exchange.
+      val li = Tables.widen(Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey")), col("l_orderkey"))
       val bounds = li.groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
           expr("percentile(l_extendedprice, 0.95)").as("hi"))
@@ -826,7 +840,14 @@ object Analytics {
         (instr(lit(hexes), substring(h, j + 1, 1)) - 1).cast("long") *
           (1L << (4 * j))
       }.reduce(_ + _)
-      Tables.lineitem(s, d).select(rowVal.as("rv"))
+      // work-vs-bytes: the md5-per-row fold otherwise runs inside the
+      // single-split fixture scan task (r15: 1.4 s wall, 1.8 CPU-s —
+      // one busy core); widen on the key, hash in parallel, and the
+      // exchange after the partial aggregate still carries 3 numbers.
+      Tables.widen(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_linestatus")), col("l_orderkey"))
+        .select(rowVal.as("rv"))
         .agg(count(lit(1)).as("n_rows"), sum(col("rv")).as("sum_check"),
           expr("bit_xor(rv)").as("xor_check"))
     }),

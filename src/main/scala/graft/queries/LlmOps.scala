@@ -574,7 +574,11 @@ object LlmOps {
     "q_bm25" -> ((s, d) => {
       def r6(c: org.apache.spark.sql.Column) =
         floor(c * 1e6 + 0.5) / 1e6
-      val toks = Tables.documents(s, d)
+      // work-vs-bytes: tokenize + tf partial-aggregate otherwise run in
+      // the single-split fixture scan task (the q_lm_surprisal widen,
+      // same rationale); pass-through on a wide lake scan
+      val toks = Tables.widen(Tables.documents(s, d)
+          .select(col("doc_id"), col("text")), col("doc_id"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
       val tf = toks.groupBy(col("doc_id"), col("tok"))

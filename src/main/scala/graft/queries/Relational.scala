@@ -232,7 +232,14 @@ object Relational {
     //      nulls/distinct/min/max/avg for every profiled column, then the
     //      single result row is unpivoted — never k scans for k columns ----
     "q_profile" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      // work-vs-bytes: 4 exact countDistincts expand every row 5× before
+      // the partial aggregate; on the single-split fixture scan that
+      // entire expansion ran in ONE task (r15: 3.0 s wall, 7.7 CPU-s —
+      // activeCores 2.6). Widen on the key first; pass-through on a
+      // wide lake scan.
+      val li = Tables.widen(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")), col("l_orderkey"))
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
@@ -685,8 +692,14 @@ object Relational {
     }),
 
     // ---- exact percentiles (sort-based aggregate) ----
+    // work-vs-bytes: percentile's PARTIAL aggregate buffers every value,
+    // and a single-split scan builds all of it in one task (r15 profile:
+    // activeCores ~1.5 on the percentile family). Project to the three
+    // needed columns, then widen — pass-through on a wide lake scan.
     "q_percentile" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      Tables.widen(Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice"), col("l_orderkey")), col("l_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(
           round(expr("percentile(l_quantity, 0.5)"), 3).as("p50"),
