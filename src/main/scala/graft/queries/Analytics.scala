@@ -104,30 +104,10 @@ object Analytics {
           .otherwise(raise_error(lit(
             "graph node id: l_partkey exceeds Int range")).cast("int"))
           .as("pk"))
-    // One collect_set aggregate + MAP-SIDE pair expansion instead of the
-    // distinct → self-join → distinct chain (r15): the old plan paid an
-    // exchange for the (ok, pk) distinct, re-exchanged/sorted for the
-    // ok-keyed self-join, then exchanged again for the edge distinct.
-    // collect_set dedups parts within the order during the aggregate
-    // (one exchange, map-side partial), sort_array orients the set
-    // ascending, and the posexplode × slice expansion emits exactly the
-    // a < b pairs in the map stage — identical edges, one exchange and
-    // one join fewer. Per-order part sets are bounded (≤ items per
-    // order), so neither the collected array nor the quadratic
-    // expansion can blow up on a hot order.
-    // work-vs-bytes: the fixture scan is one split, and collect_set's
-    // PARTIAL aggregation would otherwise build every order's set
-    // inside that single task (measured: q_pagerank wall 3→7 s at
-    // unchanged CPU — a serial stage, not extra work). Widening on the
-    // group key is pass-through on an already-wide lake scan.
-    val pairs = graft.Tables.widen(li, col("ok")).groupBy(col("ok"))
-      .agg(sort_array(collect_set(col("pk"))).as("ps"))
-      .filter(size(col("ps")) > 1)
-      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
-      .select(col("a"),
-        explode(slice(col("ps"), col("i") + lit(2),
-          size(col("ps")) - col("i") - lit(1))).as("b"))
-    pairs.select(col("a"), col("b")).distinct()
+      .distinct()
+    li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
       .localCheckpoint()
   }
 
