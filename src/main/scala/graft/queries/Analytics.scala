@@ -97,6 +97,19 @@ object Analytics {
     // raise_error makes an oversized key space fail loudly instead of
     // corrupting node ids (merged/negative keys) at exactly the scale
     // these operators are pitched at
+    // r16 edge-build restructure (guide §2.4 — remove shuffles outright).
+    // The old shape was distinct -> self-join -> distinct: the per-side
+    // (ok,pk) distinct paid its own (ok,pk) exchange AND a dedup hash
+    // pass per join side, yet contributes nothing to the RESULT — the
+    // final (a,b) distinct already collapses any duplicate pairs a
+    // duplicate (ok,pk) row could produce (TPC-H's same-part-same-order
+    // dup rate is ~0, so the pair stream barely grows). One explicit
+    // hash exchange on ok now feeds BOTH self-join sides (runtime
+    // ReuseExchange: written once) and doubles as the pair-generation
+    // parallelizer; at lake scale the join's SMJ needs exactly this
+    // partitioning, so the plan there also drops one full exchange.
+    // A/B at sf0.1 (RunProbe, min-of-4, same window): 2.14 s -> 0.99 s
+    // for the identical 1,196,000-edge set.
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"),
         when(col("l_partkey") <= lit(Int.MaxValue.toLong),
@@ -104,7 +117,7 @@ object Analytics {
           .otherwise(raise_error(lit(
             "graph node id: l_partkey exceeds Int range")).cast("int"))
           .as("pk"))
-      .distinct()
+      .repartition(col("ok"))
     li.as("x").join(li.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
@@ -565,24 +578,49 @@ object Analytics {
         .groupBy(col("n")).agg(count(lit(1)).cast("int").as("deg"))
       val fwd = col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b"))
+      // degree attach via guarded broadcast (guide §3.1): deg is
+      // node-sized (one int pair per part). Broadcasting it keeps the
+      // orientation joins exchange-free, so `ed` inherits the edge
+      // checkpoint's partitioning instead of AQE coalescing the ~10 MB
+      // post-join exchange to ONE partition — which serialized the
+      // CPU-heavy close below into a single task (RunStages: 2.2 s
+      // one-task straggler). The guard also pins deg once (it used to
+      // recompute per join side). Past the ceiling (lake-scale |V|)
+      // it degrades to the old shuffle_hash-shaped plan.
+      val degG = graft.BroadcastGuard.dim(deg, lit(12), "triangle degrees")
       val ed = e
-        .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
-        .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+        .join(degG.select(col("n").as("a"), col("deg").as("da")), "a")
+        .join(degG.select(col("n").as("b"), col("deg").as("db")), "b")
         .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
           when(fwd, col("b")).otherwise(col("a")).as("v"))
         .localCheckpoint()
-      // adjacency is consumed by BOTH closing probes — checkpoint it or
-      // the 12M-row groupBy runs twice (measured 2x the adj cost at sf1)
-      val adj = ed.groupBy(col("u"))
-        .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-        .localCheckpoint()
+      // adjacency is consumed by BOTH closing probes — the guard's
+      // pinned checkpoint materializes the 12M-row groupBy once (it
+      // used to run twice at sf1). r16 (guide §2.3 — shuffle keys, not
+      // payloads): the old unconditional shuffle_hash probes re-keyed
+      // the (u, v, nu) stream on v, shipping every edge's FULL
+      // neighbor array through an exchange — 231 MB at sf0.1 for a
+      // 10 MB adjacency table (RunStages: that one fetch stage was
+      // 15.5 run-s, the query's biggest). Guarded broadcast instead:
+      // adjacency payload is measured (4 B/int + row overhead) and
+      // broadcast only under half the configured ceiling, so both
+      // probes become map-side hash lookups over the checkpointed edge
+      // stream and NO neighbor array ever crosses an exchange; past
+      // the ceiling (lake-scale graphs, where |V|+|E| outgrows the
+      // driver) it degrades to exactly the old shuffle_hash plan —
+      // the BroadcastGuard contract (the bm25/surprisal/tfidf shape).
+      // No memoKey: the plan hangs off a per-invocation checkpoint, so
+      // every invocation re-sizes its own adjacency — nothing persists
+      // across bench passes.
+      val adj = graft.BroadcastGuard.dim(
+        ed.groupBy(col("u"))
+          .agg(sort_array(collect_list(col("v"))).as("nbrs")),
+        lit(12) + size(col("nbrs")) * 4, "triangles adjacency")
       // triangle (u, v, c) closes at oriented edge (u,v) for every c in
       // outNbrs(u) ∩ outNbrs(v); empty intersections vanish at explode
       val tri = ed
-        .join(adj.hint("shuffle_hash")
-          .select(col("u"), col("nbrs").as("nu")), "u")
-        .join(adj.hint("shuffle_hash")
-          .select(col("u").as("v"), col("nbrs").as("nv")), "v")
+        .join(adj.select(col("u"), col("nbrs").as("nu")), "u")
+        .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), "v")
         .select(col("u").as("wa"), col("v").as("wb"),
           explode(graft.expressions.SortedIntIntersect(
             col("nu"), col("nv"))).as("wc"))
@@ -674,8 +712,19 @@ object Analytics {
         .select(col("src").as("node"), col("label"))
         .localCheckpoint()
       for (_ <- 2 to 3) {
+        // label-vector attach via guarded broadcast (r16, guide §3.1):
+        // labels is node-sized, but it hangs off a per-iteration
+        // checkpoint whose stats Catalyst cannot see, so the join used
+        // to re-exchange the 2|E| message stream on dst EVERY
+        // iteration (RunStages: 20 MB exchange + barrier per round).
+        // Broadcast under the measured ceiling keeps the messages in
+        // the und cache and map-side; past it (lake-scale |V|) the
+        // guard degrades to shuffle_hash — the old shape.
+        val labG = graft.BroadcastGuard.dim(
+          labels.select(col("node").as("dst"), col("label")),
+          lit(12), "labelprop labels")
         labels = und
-          .join(labels.select(col("node").as("dst"), col("label")), "dst")
+          .join(labG, "dst")
           // ONE exchange feeds BOTH aggregates: hash-partitioning on
           // src alone satisfies the (src,label) clustering too, so the
           // count agg AND the argmax agg run exchange-free on top of
@@ -688,10 +737,18 @@ object Analytics {
           // 2|E|-row pass per iteration.
           .repartition(col("src"))
           .groupBy(col("src"), col("label")).agg(count(lit(1)).as("n"))
+          // argmax as ONE scalar max over a packed BIGINT (r16, guide
+          // §4): (n desc, label asc) is the lexicographic order of
+          // n·2^32 + (Int.MaxValue − label) — labels are ints ≥ 0 and
+          // n ≤ 2^31, so the pack cannot overflow a long and the max
+          // is bit-equivalent to the old struct max_by, without
+          // allocating/comparing a struct per row.
           .groupBy(col("src"))
-          .agg(max_by(col("label"),
-            struct(col("n"), (-col("label")).as("nl"))).as("label"))
-          .select(col("src").as("node"), col("label"))
+          .agg(max(col("n") * lit(4294967296L) +
+            (lit(Int.MaxValue.toLong) - col("label"))).as("packed"))
+          .select(col("src").as("node"),
+            (lit(Int.MaxValue.toLong) - col("packed") % lit(4294967296L))
+              .cast("int").as("label"))
           .localCheckpoint()
       }
       labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
