@@ -156,4 +156,37 @@ class BenchArtifactSpec extends AnyFunSuite {
       s"no numeric sf1_sec/sf3_sec legs found in ${real.get} - " +
         "writeFullArtifact's field names drifted from artifactStats")
   }
+
+  // r16: the one-line JSON's printed set is FIXED (PERF_r15 reported
+  // phantom dropped_from_bench when "top 60 by time" churned with
+  // window noise). Pin the three load-bearing properties.
+  test("printed set is registered, covers the r15 printed set, fits the tail capture") {
+    val registered = SparkEntry.queries.keySet
+    val unknown = Bench.PrintedQueries.filterNot(registered)
+    assert(unknown.isEmpty, s"printed-but-unregistered: $unknown")
+    assert(Bench.PrintedQueries.distinct.size == Bench.PrintedQueries.size)
+    // every query the r15 artifact printed must stay printed, or the
+    // next PERF diff manufactures a drop
+    val r15 = Seq("q_triangles", "q_pipeline_report", "q_ann_lsh_big",
+      "q_label_prop", "q_pagerank", "q_pipeline_full",
+      "q_ann_lsh_big_persisted", "q_dedup_keep_best", "q_split_leakage_safe",
+      "q_dup_clusters", "q_dedup_pipeline", "q_dedup_embed", "q_bm25",
+      "q_compact", "q_dedup_semantic", "q_source_overlap", "q_dedup_minhash",
+      "q_join_or", "q_profile", "q_kmeans", "q_winsorize", "q_mad",
+      "q_containment", "q_concurrency", "q_bucket_join", "q_zorder",
+      "q_interp", "q_ann_ivf", "q_ngram_jaccard", "q_ann_index_append",
+      "q_ewma", "q_events_pipeline", "q_contamination", "q_join_salted",
+      "q_span_dedup", "q_ifile_compressed", "q_dpp", "q_percentile",
+      "q_lm_surprisal", "q_gap_fill_keyed", "q_repetition", "q_window_ntile",
+      "q_running_global", "q_sql_front", "q1_agg", "q_ifile_roundtrip",
+      "q_dedup_simhash", "q_checksum", "q_rollup", "q_index_append",
+      "q_fuzzy_join", "q_join_bcast", "q_join_smj", "q_ann_persisted",
+      "q_unpivot", "q_dedup_incremental_near", "q_agg_distinct",
+      "q_window_frames", "q_rownum_global", "q_part_prune")
+    val missing = r15.filterNot(Bench.PrintedQueries.contains)
+    assert(missing.isEmpty, s"r15-printed queries gone from the set: $missing")
+    // worst case: every value prints as 5 chars ("999.9")
+    val worst = Bench.PrintedQueries.map(q => q.length + 9).sum + 250
+    assert(worst < 2000, s"worst-case metric line $worst chars")
+  }
 }
