@@ -111,17 +111,29 @@ object Relational {
     // the plan never contains a cartesian/BNLJ (asserted in
     // PlanShapeSpec).
     "q_join_or" -> ((s, d) => {
+      // r16: each table is materialized ONCE (localCheckpoint) — the
+      // two disjunct legs used to re-scan both probe tables (guide
+      // §1.2: don't compute things twice); and the post-union dedup +
+      // per-supplier count share ONE exchange — hash-partitioning on
+      // s_suppkey alone satisfies the (s_suppkey, c_custkey) dedup
+      // clustering AND the count's grouping, where distinct() +
+      // groupBy used to exchange the ~|matches| stream twice (the
+      // q_label_prop one-exchange pattern). Same rewrite shape as
+      // documented above; result unchanged (oracle-checked).
       val su = Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_nationkey").cast("int").as("sn"),
           floor(col("s_acctbal") / 1000).cast("long").as("sband"))
+        .localCheckpoint()
       val c = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_nationkey").as("cn"),
           floor(col("c_acctbal") / 1000).cast("long").as("cband"))
+        .localCheckpoint()
       val byNation = su.join(c, col("sn") === col("cn"))
       val byCode = su.join(c, col("sband") === col("cband"))
       byNation.select(col("s_suppkey"), col("c_custkey"))
         .union(byCode.select(col("s_suppkey"), col("c_custkey")))
-        .distinct()
+        .repartition(col("s_suppkey"))
+        .dropDuplicates("s_suppkey", "c_custkey")
         .groupBy(col("s_suppkey"))
         .agg(count(lit(1)).as("n_matches"))
     }),
