@@ -390,7 +390,8 @@ object Ann {
       VectorFunctions.asDouble(col(vecCol)).as("cv"))
     val cb = boundedBandTable(candidates, idCol, vecCol, dim, bits, bands,
       maxBucket, numSigs)
-    lshRankServe(q, cb, c, k, dim, bits, bands, capPerQuery, numSigs)
+    lshRankServe(q, cb, c, k, dim, bits, bands, capPerQuery, numSigs,
+      maxBucket)
   }
 
   /** The registry/default bounded-mode signature count — the persisted
@@ -438,7 +439,8 @@ object Ann {
                                   cVecs: DataFrame, k: Int, dim: Int,
                                   bits: Int = 64, bands: Int = 8,
                                   capPerQuery: Int = 2000,
-                                  numSigs: Int = 16): DataFrame = {
+                                  numSigs: Int = 16,
+                                  maxBucket: Int = 64): DataFrame = {
     val qSigCols = (0 until numSigs).map(s => col(s"__sig$s").as(s"sq$s"))
     val qb = explodeBands(withSignatures(q, "qv", dim, bits, numSigs),
         numSigs, bits, bands, keepSigs = true)
@@ -469,7 +471,27 @@ object Ann {
     // high-fan-out repartition pins many SMALL aggregation tasks
     // (explicit numPartitions ⇒ AQE does not coalesce it away); same
     // bytes through the exchange, no concurrent-map cliff.
-    val aggParts = 256
+    // r16: the fan-out is SIZED from the measured query count (the
+    // same count() the re-rank broadcast guard below already pays, so
+    // the sizing job is shared) instead of a pinned 256 — at sf0.1
+    // the constant spread 10 CPU-s of aggregation across 256 tasks
+    // whose scheduling + GC cost 45 task-seconds (RunStages stage 18),
+    // while at 30× it under-provisioned nothing. Target ~256k map
+    // entries per final task (the collision bound is nQ·bands·
+    // maxBucket rows), floored at the session's shuffle width and
+    // capped at 4096; the guard's opt-out path (no count available)
+    // keeps the old constant.
+    val spark = q.sparkSession
+    val bcastMax = spark.conf
+      .get(BroadcastMaxBytesKey, DefaultBroadcastMaxBytes.toString).toLong
+    val effMax = bcastMax / 2
+    val nQ = if (effMax >= Long.MaxValue / 4) -1L
+      else q.select(col("qid")).count()
+    val shuffleParts = spark.sessionState.conf.numShufflePartitions
+    val aggParts = if (nQ < 0) math.max(256, shuffleParts)
+      else math.max(shuffleParts,
+        math.min(4096L,
+          nQ * numSigs * bands * maxBucket / 262144L + 1L).toInt)
     val cand = qb.join(cb.hint("shuffle_hash"), Seq("band", "key"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), ham.as("ham"))
@@ -509,13 +531,7 @@ object Ann {
     // ceiling is effectively unbounded (caller opted out of the guard),
     // the sizing count() — which re-executes the unmaterialized query
     // plan — is skipped entirely.
-    val spark = q.sparkSession
-    val bcastMax = spark.conf
-      .get(BroadcastMaxBytesKey, DefaultBroadcastMaxBytes.toString).toLong
-    val effMax = bcastMax / 2
-    val qBytes =
-      if (effMax >= Long.MaxValue / 4) 0L
-      else q.select(col("qid")).count() * dim * 8L
+    val qBytes = if (nQ < 0) 0L else nQ * dim * 8L
     val qAttach = if (qBytes <= effMax) broadcast(q)
       else {
         System.err.println(f"[ann] re-rank query side ~${qBytes / 1e9}%.2f GB " +
