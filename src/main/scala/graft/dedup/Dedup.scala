@@ -44,7 +44,13 @@ object Dedup {
     * caller's partitioning flows through untouched. (Historical note:
     * k×`array_min(transform(...))` in one projection was measured 40×
     * slower than even the explode+agg form — interpreted lambdas per
-    * element; the native expression sidesteps both.) */
+    * element; the native expression sidesteps both.)
+    *
+    * Emits ONE ROW PER INPUT ROW: unlike the old `groupBy(id)` form,
+    * duplicate `id`s are NOT collapsed into an element-wise min across
+    * their combined shingle sets. All current callers (minhashPairs,
+    * StandingIndex build/serve) feed unique ids; a caller with
+    * duplicate ids must pre-aggregate. */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     val sig = sh.filter(size(col("sh")) > 0)
       .select(col("id"), graft.expressions.MinHashSignatureExpression
@@ -210,6 +216,15 @@ object Dedup {
     // The widen ahead of the shingle projection is the work-vs-bytes
     // move (r15): without it the shingling itself runs inside the
     // single-split fixture scan task; pass-through on a wide lake scan.
+    // KNOWN double evaluation, inherent: the emptiness filter (and with
+    // it one shingling pass) runs in the SCAN task below the widen
+    // exchange, then the projection re-shingles post-exchange. Swapping
+    // the explicit filter for a cheap bit-equivalent predicate
+    // (size(split(g,' ',-1)) >= n) does NOT remove it — Catalyst's
+    // InferFiltersFromGenerate re-infers size(wordshingles(g,n)) > 0
+    // from the explode below and pushes it through the exchange anyway
+    // (verified in the r16 plan), so the swap only adds a redundant
+    // per-row split. Accepted and kept explicit.
     val inv = graft.Tables.widen(
         docs.select(col(idCol).as("id"), col(textCol).as("gtxt")), col("id"))
       .select(col("id"),
@@ -332,7 +347,9 @@ object Dedup {
     * directions since containment is directional. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int, threshold: Double): DataFrame = {
-    // same widen-before-shingling as ngramJaccardPairs (work-vs-bytes)
+    // same widen-before-shingling as ngramJaccardPairs (work-vs-bytes),
+    // same accepted scan-side filter double-eval (see note there:
+    // InferFiltersFromGenerate re-infers it from the explode regardless)
     val inv = graft.Tables.widen(
         docs.select(col(idCol).as("id"), col(textCol).as("gtxt")), col("id"))
       .select(col("id"),

@@ -1,12 +1,12 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** All `k` MinHash values of a shingle set in ONE pass — bit-identical
   * to the `min(xxhash64(g, i))`-per-i aggregate it replaces, at a
@@ -27,16 +27,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * `hashInt(i, base)` — exactly the tail step of the fold, so every
   * m_i equals the composed form bit-for-bit (MinHashSignatureSpec pins
   * the equivalence). One string hash + k long hashes per shingle, no
-  * explode, no aggregation buffers — a map-side column like SimHash64.
+  * explode, no aggregation buffers — a map-side column like SimHash64,
+  * and (since r16) a whole-stage-codegen participant rather than a
+  * CodegenFallback island: the signature projection now fuses into the
+  * surrounding scan/filter/project span.
   *
-  * Returns null for an empty shingle array (callers filter
+  * Null ELEMENTS mirror the composed fold exactly: `xxhash64(g, i)`
+  * skips a null child, leaving the running state at the seed, so a
+  * null shingle contributes `hashInt(i, 42L)` to every min — current
+  * producers (`WordShingles`) emit containsNull=false arrays, but the
+  * expression no longer NPEs if a future caller feeds nullable
+  * elements. Returns null for an empty shingle array (callers filter
   * `size(sh) > 0` first, matching the old explode semantics where an
   * empty array produced no rows).
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // Empty input arrays yield null regardless of child nullability.
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhashsignature requires array<string> input, got ${other.sql}")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -46,8 +63,9 @@ case class MinHashSignature(child: Expression, k: Int)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var e = 0
     while (e < n) {
-      val g = arr.getUTF8String(e)
-      val base = XXH64.hashUTF8String(g, 42L)
+      val base =
+        if (arr.isNullAt(e)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(e), 42L)
       var i = 0
       while (i < k) {
         val h = XXH64.hashInt(i, base)
@@ -56,8 +74,38 @@ case class MinHashSignature(child: Expression, k: Int)
       }
       e += 1
     }
-    new GenericArrayData(mins)
+    UnsafeArrayData.fromPrimitiveArray(mins)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val n = ctx.freshName("n")
+      val e = ctx.freshName("e")
+      val i = ctx.freshName("i")
+      val base = ctx.freshName("base")
+      val h = ctx.freshName("h")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$k];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $e = 0; $e < $n; $e++) {
+         |    long $base = $a.isNullAt($e) ? 42L
+         |      : $xxh.hashUTF8String($a.getUTF8String($e), 42L);
+         |    for (int $i = 0; $i < $k; $i++) {
+         |      long $h = $xxh.hashInt($i, $base);
+         |      if ($h < $mins[$i]) $mins[$i] = $h;
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($mins);
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -52,6 +52,47 @@ class MinHashSignatureSpec extends SparkSuite {
     assert(got == ref)
   }
 
+  test("null shingle elements mirror the composed fold (hashInt(i, 42))") {
+    // xxhash64 SKIPS a null child, leaving the fold state at the seed,
+    // so a null element contributes hashInt(i, 42) to every min — the
+    // native expression must reproduce that rather than NPE. (Current
+    // producers emit containsNull=false; this pins the reusable
+    // building block's semantics.)
+    import spark.implicits._
+    val rows = Seq(1L -> Seq("a", null, "b"), 2L -> Seq(null: String))
+    val sh = rows.toDF("id", "sh")
+    val ref = composed(sh).collect()
+      .map(r => r.getLong(0) -> (1 to K).map(r.getLong).toVector).toMap
+    val got = Dedup.minhashSignatures(sh, K).collect()
+      .map(r => r.getLong(0) -> (1 to K).map(r.getLong).toVector).toMap
+    assert(got == ref)
+  }
+
+  test("codegen and interpreted eval agree (doGenCode == nullSafeEval)") {
+    import spark.implicits._
+    val rows = Seq(
+      1L -> Seq("a", "éé café", "世界 hello"),
+      2L -> Seq("", " ", "x" * 500),
+      3L -> Seq("solo"))
+    val sh = rows.toDF("id", "sh")
+    def run() = Dedup.minhashSignatures(sh, K).collect()
+      .map(r => r.getLong(0) -> (1 to K).map(r.getLong).toVector).toMap
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "CODEGEN_ONLY")
+      val gen = run()
+      spark.conf.set(key, "NO_CODEGEN")
+      val interp = run()
+      assert(gen == interp)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("empty shingle array yields no signature row (explode semantics)") {
     import spark.implicits._
     val sh = Seq((1L, Seq("a", "b")), (2L, Seq.empty[String]))
