@@ -55,8 +55,37 @@ case class MinHashSignature(child: Expression, k: Int)
       s"minhashsignature requires array<string> input, got ${other.sql}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignature.compute(input.asInstanceOf[ArrayData], k)
+
+  // The generated code CALLS the shared compiled kernel instead of
+  // pasting the hash loop into every generated class: a first codegen
+  // attempt inlined the loop and regressed cold CPU ~6x (bench min-of-3
+  // q_dedup_minhash CPU 10 -> 65 s) because each per-plan Janino class
+  // re-enters the JVM interpreter and must re-earn C2 compilation,
+  // while the single kernel method below warms once per JVM and stays
+  // hot across queries and plans. The expression still participates in
+  // whole-stage codegen (no fallback row boxing, no span break) — the
+  // span pays one static call per row.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mod = "graft.expressions.MinHashSignature$.MODULE$"
+      s"""
+         |${ev.value} = $mod.compute($a, $k);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MinHashSignature {
+  /** The shared hash kernel: one string hash + k seed hashes per
+    * element, element-wise min. Returns null for an empty array (the
+    * explode semantics callers rely on). Called from both interpreted
+    * eval and generated code — keep it a single hot method. */
+  def compute(arr: ArrayData, k: Int): UnsafeArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
     val mins = new Array[Long](k)
@@ -76,39 +105,6 @@ case class MinHashSignature(child: Expression, k: Int)
     }
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val xxh = classOf[XXH64].getName
-      val n = ctx.freshName("n")
-      val e = ctx.freshName("e")
-      val i = ctx.freshName("i")
-      val base = ctx.freshName("base")
-      val h = ctx.freshName("h")
-      val mins = ctx.freshName("mins")
-      s"""
-         |int $n = $a.numElements();
-         |if ($n == 0) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  long[] $mins = new long[$k];
-         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |  for (int $e = 0; $e < $n; $e++) {
-         |    long $base = $a.isNullAt($e) ? 42L
-         |      : $xxh.hashUTF8String($a.getUTF8String($e), 42L);
-         |    for (int $i = 0; $i < $k; $i++) {
-         |      long $h = $xxh.hashInt($i, $base);
-         |      if ($h < $mins[$i]) $mins[$i] = $h;
-         |    }
-         |  }
-         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |    .fromPrimitiveArray($mins);
-         |}
-       """.stripMargin
-    })
-
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
 }
 
 object MinHashSignatureExpression {
